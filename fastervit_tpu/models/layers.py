@@ -1,0 +1,440 @@
+"""Building-block modules for FasterViT-TPU (flax.linen, NHWC).
+
+TPU-first re-design of the reference blocks
+(/root/reference/fastervit/models/faster_vit.py:213-738). Activations are
+NHWC so convs hit XLA's preferred layout; position-bias tables are built from
+static (trace-time) coordinate grids so only the tiny CPB MLPs run on device;
+attention is routed through `fastervit_tpu.ops.attention` so the fused Pallas
+kernel and the jnp reference share one call-site.
+
+Numerics notes for weight parity with the PyTorch reference:
+* torch nn.GELU is exact-erf GELU -> jax.nn.gelu(..., approximate=False).
+* torch BatchNorm2d(momentum=0.1) -> flax BatchNorm(momentum=0.9).
+* timm LayerNorm2d (channel LN on NCHW) -> plain LayerNorm on NHWC's last
+  axis; timm's default eps is 1e-6 (vs torch LayerNorm 1e-5).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastervit_tpu.ops import attention as attention_ops
+from fastervit_tpu.ops.windows import (ct_dewindow, ct_window,
+                                       nearest_upsample_tokens)
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def gelu(x):
+    # torch nn.GELU default is the exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath, scale_by_keep=True)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (reference Mlp, faster_vit.py:370-407)."""
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="fc1")(x)
+        x = gelu(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="fc2")(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def _rank2_coords(seq_length: int) -> np.ndarray:
+    """Static normalized grid for PosEmbMLPSwinv1D rank-2
+    (reference faster_vit.py:354-360; integer-division normalization kept)."""
+    g = int(seq_length ** 0.5)
+    coords = np.arange(g, dtype=np.float32)
+    table = np.stack(np.meshgrid(coords, coords, indexing="ij"))  # (2, g, g)
+    table -= g // 2
+    table /= g // 2
+    return table.reshape(2, -1).T  # (g*g, 2), raster order
+
+
+def _rank1_coords(seq_length: int) -> np.ndarray:
+    coords = np.arange(seq_length, dtype=np.float32)
+    coords -= seq_length // 2
+    coords /= seq_length // 2
+    return coords[:, None]  # (seq, 1)
+
+
+class PosEmbMLPSwinv1D(nn.Module):
+    """Absolute position bias: normalized grid -> MLP(rank->512->dim), added to
+    tokens (reference PosEmbMLPSwinv1D, faster_vit.py:313-367). The coordinate
+    table is a trace-time constant; only the two matmuls run on device."""
+    dim: int
+    seq_length: int
+    rank: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        coords = _rank2_coords(self.seq_length) if self.rank == 2 else _rank1_coords(self.seq_length)
+        h = nn.Dense(512, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="fc1")(jnp.asarray(coords, dtype=self.dtype))
+        h = nn.relu(h)
+        pos = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="fc2")(h)
+        return x + pos[None]
+
+
+def _log_cpb_table(window_size: Tuple[int, int],
+                   pretrained_window_size: Tuple[int, int],
+                   no_log: bool) -> np.ndarray:
+    """Static log-spaced relative-coordinate table (SwinV2 CPB,
+    reference faster_vit.py:226-241)."""
+    wh, ww = window_size
+    rel_h = np.arange(-(wh - 1), wh, dtype=np.float32)
+    rel_w = np.arange(-(ww - 1), ww, dtype=np.float32)
+    table = np.stack(np.meshgrid(rel_h, rel_w, indexing="ij"), axis=-1)  # (2wh-1, 2ww-1, 2)
+    pwh, pww = pretrained_window_size
+    if pwh > 0:
+        table[..., 0] /= (pwh - 1)
+        table[..., 1] /= (pww - 1)
+    else:
+        table[..., 0] /= (wh - 1)
+        table[..., 1] /= (ww - 1)
+    if not no_log:
+        table *= 8.0
+        table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2)
+
+
+def _relative_position_index(window_size: Tuple[int, int]) -> np.ndarray:
+    """Static (S, S) index into the CPB table (reference faster_vit.py:244-254)."""
+    wh, ww = window_size
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, S, S)
+    rel = rel.transpose(1, 2, 0).copy()
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (S, S) int
+
+
+def _ct_correct_indices(window_size: int, n_global: int) -> list:
+    """Index remap for the ct_correct bias mode (reference faster_vit.py:283-295).
+    Unused by the classification variants (WindowAttention never sets it) but
+    kept for downstream-backbone parity."""
+    step = window_size / (n_global ** 0.5 + 1)
+    g = int(n_global ** 0.5)
+    return [int((i + 1) * step * window_size + (j + 1) * step)
+            for i in range(g) for j in range(g)]
+
+
+class PosEmbMLPSwinv2D(nn.Module):
+    """SwinV2-style continuous relative position bias, returned as a dense
+    (num_heads, seq, seq) matrix (reference PosEmbMLPSwinv2D, faster_vit.py:213-310).
+
+    The reference adds the bias to the attention logits inside the module; here
+    the module *produces* the bias so the attention kernel (jnp or Pallas) can
+    consume it as an operand, and so deploy-mode baking is a pure function of
+    params.
+    """
+    window_size: Tuple[int, int]
+    pretrained_window_size: Tuple[int, int]
+    num_heads: int
+    seq_length: int
+    ct_correct: bool = False
+    no_log: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        table_coords = _log_cpb_table(self.window_size, self.pretrained_window_size,
+                                      self.no_log)
+        rel_idx = _relative_position_index(self.window_size)
+        h = nn.Dense(512, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="fc1")(jnp.asarray(table_coords, dtype=self.dtype))
+        h = nn.relu(h)
+        table = nn.Dense(self.num_heads, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name="fc2")(h)
+        s_local = self.window_size[0] * self.window_size[1]
+        bias = table[rel_idx.reshape(-1)].reshape(s_local, s_local, self.num_heads)
+        bias = 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))  # (H, S, S)
+        n_global = self.seq_length - s_local
+        if n_global <= 0:
+            return bias
+        if not self.ct_correct:
+            # zero-pad carrier-token rows/cols at the top-left (faster_vit.py:296-299)
+            return jnp.pad(bias, ((0, 0), (n_global, 0), (n_global, 0)))
+        idx = np.asarray(_ct_correct_indices(self.window_size[0], n_global))
+        lefttop = bias[:, idx][:, :, idx]
+        top = bias[:, idx, :]
+        left = bias[:, :, idx]
+        out = jnp.zeros((self.num_heads, self.seq_length, self.seq_length),
+                        dtype=bias.dtype)
+        out = out.at[:, :n_global, :n_global].set(lefttop)
+        out = out.at[:, :n_global, n_global:].set(top)
+        out = out.at[:, n_global:, :n_global].set(left)
+        return out
+
+
+class WindowAttention(nn.Module):
+    """MHSA over a window (+ prepended carrier tokens) with the CPB bias
+    (reference WindowAttention, faster_vit.py:515-568)."""
+    dim: int
+    num_heads: int
+    resolution: int              # attention grid edge (window size or ct grid edge)
+    seq_length: int              # full sequence incl. carrier tokens
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    ct_correct: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"      # 'auto' | 'jnp' | 'pallas'
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        bias = PosEmbMLPSwinv2D(
+            window_size=(self.resolution, self.resolution),
+            pretrained_window_size=(self.resolution, self.resolution),
+            num_heads=self.num_heads, seq_length=self.seq_length,
+            ct_correct=self.ct_correct, dtype=self.dtype,
+            name="pos_emb_funct")()
+        x = attention_ops.bias_attention(
+            q, k, v, bias, scale,
+            attn_drop=self.attn_drop, deterministic=deterministic,
+            dropout_rng=self.make_rng("dropout") if (self.attn_drop > 0.0 and not deterministic) else None,
+            impl=self.attn_impl)
+        x = x.transpose(0, 2, 1, 3).reshape(b, n, c)
+        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="proj")(x)
+        if self.proj_drop > 0.0:
+            x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Stride-4 conv stem: (conv3x3 s2 -> BN eps1e-4 -> ReLU) x2
+    (reference PatchEmbed, faster_vit.py:443-469)."""
+    in_dim: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        conv = lambda f, nm: nn.Conv(f, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                                     use_bias=False, dtype=self.dtype, name=nm)
+        bn = lambda nm: nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                                     epsilon=1e-4, dtype=self.dtype, name=nm)
+        x = conv(self.in_dim, "conv1")(x)
+        x = nn.relu(bn("norm1")(x))
+        x = conv(self.dim, "conv2")(x)
+        x = nn.relu(bn("norm2")(x))
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Residual conv block: conv3x3 -> BN(1e-5) -> GELU -> conv3x3 -> BN,
+    optional layer-scale, DropPath (reference ConvBlock, faster_vit.py:472-512)."""
+    dim: int
+    drop_path: float = 0.0
+    layer_scale: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, deterministic: bool = True):
+        residual = x
+        conv = lambda nm: nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                                  use_bias=True, dtype=self.dtype, name=nm)
+        bn = lambda nm: nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                                     epsilon=1e-5, dtype=self.dtype, name=nm)
+        x = gelu(bn("norm1")(conv("conv1")(x)))
+        x = bn("norm2")(conv("conv2")(x))
+        if self.layer_scale is not None:
+            gamma = self.param("gamma", nn.initializers.constant(self.layer_scale),
+                               (self.dim,))
+            x = x * gamma
+        x = DropPath(self.drop_path)(x, deterministic=deterministic)
+        return residual + x
+
+
+class Downsample(nn.Module):
+    """LayerNorm2d -> conv3x3 s2 (dim -> 2*dim), reference faster_vit.py:410-440."""
+    dim: int
+    keep_dim: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        out = self.dim if self.keep_dim else 2 * self.dim
+        x = nn.Conv(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class TokenInitializer(nn.Module):
+    """Carrier-token initializer: depthwise conv pos-embed + strided average
+    pool to a (ct*srH, ct*srW) grid, then window-grouped flatten
+    (reference TokenInitializer, faster_vit.py:704-738 and the rectangular
+    any-res form, faster_vit_any_res.py:709-751)."""
+    dim: int
+    input_resolution: Tuple[int, int]   # padded stage resolution
+    window_size: int
+    ct_size: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hr, wr = self.input_resolution
+        pool = []
+        for r in (hr, wr):
+            out = int(self.ct_size * r / self.window_size)
+            stride = int(r / out)
+            kernel = r - (out - 1) * stride
+            pool.append((kernel, stride))
+        x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=self.dim, use_bias=True,
+                    dtype=self.dtype, name="pos_embed")(x)
+        x = nn.avg_pool(x, window_shape=(pool[0][0], pool[1][0]),
+                        strides=(pool[0][1], pool[1][1]))
+        b, hc, wc, c = x.shape
+        cs = self.ct_size
+        ct = x.reshape(b, hc // cs, cs, wc // cs, cs, c)
+        ct = ct.transpose(0, 1, 3, 2, 4, 5)  # (B, nWh, nWw, cs, cs, C)
+        return ct.reshape(b, hc * wc, c)
+
+
+class HAT(nn.Module):
+    """Hierarchical-Attention block (reference HAT, faster_vit.py:571-701;
+    rectangular generalization from faster_vit_any_res.py:571-707).
+
+    Carrier tokens do a global MHSA in raster order, are re-grouped per window,
+    concatenated in front of the window tokens for a joint windowed MHSA, then
+    split back; the last block can propagate ct into the feature map."""
+    dim: int
+    num_heads: int
+    sr_ratio: Tuple[int, int]
+    window_size: int
+    ct_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_scale: Optional[float] = None
+    last: bool = False
+    do_propagation: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @property
+    def do_sr_hat(self) -> bool:
+        return self.sr_ratio[0] > 1 or self.sr_ratio[1] > 1
+
+    @property
+    def square(self) -> bool:
+        return self.sr_ratio[0] == self.sr_ratio[1]
+
+    @nn.compact
+    def __call__(self, x, ct, deterministic: bool = True):
+        b, t, c = x.shape  # b = batch * num_windows
+        ws, cs = self.window_size, self.ct_size
+        use_ls = self.layer_scale is not None
+        ls_init = nn.initializers.constant(self.layer_scale if use_ls else 1.0)
+        gamma = lambda nm: (self.param(nm, ls_init, (self.dim,)) if use_ls else 1.0)
+        dp = DropPath(self.drop_path, name="drop_path")
+        mlp_hidden = int(self.dim * self.mlp_ratio)
+
+        x = PosEmbMLPSwinv1D(self.dim, seq_length=ws * ws, rank=2,
+                             dtype=self.dtype, name="pos_embed")(x)
+
+        cr_per_window = cs * cs if self.do_sr_hat else 0
+
+        if self.do_sr_hat:
+            bg, ng, cg = ct.shape
+            gh, gw = cs * self.sr_ratio[0], cs * self.sr_ratio[1]
+            cr_total = cr_per_window * self.sr_ratio[0] * self.sr_ratio[1]
+            g1, g2 = gamma("gamma1"), gamma("gamma2")
+
+            ct = ct_dewindow(ct, gh, gw, cs)
+            if self.square:
+                ct = PosEmbMLPSwinv1D(self.dim, seq_length=cr_total, rank=2,
+                                      dtype=self.dtype, name="hat_pos_embed")(ct)
+            hat_dp = DropPath(self.drop_path, name="hat_drop_path")
+            attn_out = WindowAttention(
+                self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+                proj_drop=self.drop, resolution=int(cr_total ** 0.5),
+                seq_length=cr_total, dtype=self.dtype, attn_impl=self.attn_impl,
+                name="hat_attn")(
+                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm1")(ct),
+                    deterministic=deterministic)
+            ct = ct + hat_dp(g1 * attn_out, deterministic=deterministic)
+            mlp_out = Mlp(mlp_hidden, self.dim, drop=self.drop, dtype=self.dtype,
+                          name="hat_mlp")(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm2")(ct),
+                deterministic=deterministic)
+            ct = ct + hat_dp(g2 * mlp_out, deterministic=deterministic)
+
+            ct = ct_window(ct, gh, gw, cs)
+            ct_per_win = ct.reshape(b, cr_per_window, c)
+            x = jnp.concatenate([ct_per_win, x], axis=1)
+
+        # joint windowed attention over (ct + window) tokens
+        g3, g4 = gamma("gamma3"), gamma("gamma4")
+        attn_out = WindowAttention(
+            self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
+            resolution=ws, seq_length=ws * ws + cr_per_window, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn")(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
+                deterministic=deterministic)
+        x = x + dp(g3 * attn_out, deterministic=deterministic)
+        mlp_out = Mlp(mlp_hidden, self.dim, drop=self.drop, dtype=self.dtype,
+                      name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
+            deterministic=deterministic)
+        x = x + dp(g4 * mlp_out, deterministic=deterministic)
+
+        if self.do_sr_hat:
+            ctr, x = x[:, :cr_per_window], x[:, cr_per_window:]
+            ct = ctr.reshape(bg, ng, cg)
+            if self.last and self.do_propagation:
+                # upsample each window's ct patch into its window tokens
+                # (reference faster_vit.py:697-700; fp32 cast kept for parity)
+                up = nearest_upsample_tokens(ctr.astype(jnp.float32), cs, ws)
+                x = x + g1 * up.astype(x.dtype)
+        return x, ct

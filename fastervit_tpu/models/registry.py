@@ -1,0 +1,113 @@
+"""Model registry and factory (reference fastervit/models/registry.py:30-205).
+
+`create_model(name, **kwargs)` returns a `Model` handle bundling the flax
+module with its config, plus init/apply/load helpers — the JAX analog of the
+reference's `create_model` returning an nn.Module.
+"""
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fastervit_tpu.models.config import VARIANTS, DataConfig, FasterViTConfig
+from fastervit_tpu.models.fastervit import FasterViT, FasterViTPyramid
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def list_models(filter: str = "", pretrained: bool = False) -> list:
+    names = list(VARIANTS)
+    if filter:
+        filters = filter if isinstance(filter, (tuple, list)) else [filter]
+        selected = set()
+        for f in filters:
+            selected.update(fnmatch.filter(names, f))
+        names = list(selected)
+    return sorted(names, key=_natural_key)
+
+
+def is_model(name: str) -> bool:
+    return name in VARIANTS
+
+
+def get_config(name: str, **overrides) -> FasterViTConfig:
+    cfg = VARIANTS[name]
+    if not overrides:
+        return cfg
+    data_keys = {f.name for f in dataclasses.fields(DataConfig)}
+    cfg_keys = {f.name for f in dataclasses.fields(FasterViTConfig)}
+    cfg_over: Dict[str, Any] = {}
+    data_over: Dict[str, Any] = {}
+    for k, v in overrides.items():
+        if k == "resolution":
+            v = (v, v) if isinstance(v, int) else tuple(v)
+            data_over.setdefault("input_size", v)
+        if k in cfg_keys:
+            cfg_over[k] = tuple(v) if isinstance(v, list) else v
+        elif k in data_keys:
+            data_over[k] = tuple(v) if isinstance(v, list) else v
+        else:
+            raise ValueError(f"unknown config override {k!r} for model {name!r}")
+    data = dataclasses.replace(cfg.data, **data_over) if data_over else cfg.data
+    return dataclasses.replace(cfg, data=data, **cfg_over)
+
+
+@dataclasses.dataclass
+class Model:
+    """A (module, config) bundle with functional init/apply helpers."""
+    module: FasterViT
+    cfg: FasterViTConfig
+
+    def dummy_input(self, batch_size: int = 1, dtype=jnp.float32) -> jnp.ndarray:
+        h, w = self.cfg.resolution
+        return jnp.zeros((batch_size, h, w, self.cfg.in_chans), dtype)
+
+    def init(self, rng: Optional[jax.Array] = None, batch_size: int = 1):
+        """Initialize variables: {'params': ..., 'batch_stats': ...}.
+
+        Jitted: eager init dispatches thousands of tiny ops, which is
+        pathologically slow through a remote-TPU relay."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jax.jit(self.module.init)(rng, self.dummy_input(batch_size))
+
+    def apply(self, variables, x, training: bool = False, rngs=None, **kwargs):
+        if training:
+            return self.module.apply(variables, x, training=True, rngs=rngs,
+                                     mutable=["batch_stats"], **kwargs)
+        return self.module.apply(variables, x, **kwargs)
+
+    def load_pytorch(self, checkpoint_path: str):
+        """Convert a reference PyTorch checkpoint into this model's variables."""
+        from fastervit_tpu.utils.convert import load_pytorch_checkpoint
+        return load_pytorch_checkpoint(self, checkpoint_path)
+
+
+def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
+                 dtype=jnp.float32, attn_impl: str = "auto",
+                 pyramid: bool = False, **kwargs) -> Model:
+    """Build a FasterViT model by name (reference registry.py:195-205).
+
+    `pretrained=True` requires a locally available reference checkpoint at
+    `checkpoint_path` (this environment has no network egress); it is converted
+    on the fly via Model.load_pytorch.
+    """
+    if not is_model(name):
+        raise KeyError(f"unknown model {name!r}; see list_models()")
+    cfg = get_config(name, **kwargs)
+    cls = FasterViTPyramid if pyramid else FasterViT
+    model = Model(module=cls(cfg=cfg, dtype=dtype, attn_impl=attn_impl), cfg=cfg)
+    if pretrained and not checkpoint_path:
+        raise ValueError("pretrained=True needs checkpoint_path (no network egress); "
+                         "download the reference .pth.tar manually")
+    if checkpoint_path:
+        variables = model.load_pytorch(checkpoint_path)
+        return model, variables
+    return model

@@ -1,0 +1,66 @@
+"""Bias-added softmax attention: the FasterViT hot path.
+
+Both attention sites in the model — the joint window+carrier MHSA
+(reference faster_vit.py:557-568) and the carrier-token global MHSA
+(faster_vit.py:679) — are softmax(q k^T * scale + bias) v with a per-head
+dense bias. This module is the single dispatch point: a pure-jnp reference
+(obviously correct, used for tests and as the autodiff fallback) and the
+fused Pallas TPU kernel (fastervit_tpu.ops.pallas_attention).
+
+Shapes: q, k, v are (B, H, S, D); bias is (H, S, S); output is (B, H, S, D).
+B is batch*num_windows, S is window_tokens(+carrier_tokens), so S is small
+(53..2308 across the model family) while B is large — the Pallas kernel
+tiles over B and keeps each (S, S) attention matrix resident in VMEM.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Default implementation, override per-call or via set_default_impl.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "jnp", "pallas")
+    _DEFAULT_IMPL = impl
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def bias_attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             bias: jnp.ndarray, scale: float,
+                             attn_drop: float = 0.0,
+                             deterministic: bool = True,
+                             dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Naive jnp implementation (materializes the (B, H, S, S) logits)."""
+    attn = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
+    attn = attn + bias[None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    if attn_drop > 0.0 and not deterministic:
+        keep = 1.0 - attn_drop
+        mask = jax.random.bernoulli(dropout_rng, keep, attn.shape)
+        attn = jnp.where(mask, attn / keep, 0.0)
+    return jnp.einsum("bhst,bhtd->bhsd", attn, v)
+
+
+def bias_attention(q, k, v, bias, scale, *, attn_drop: float = 0.0,
+                   deterministic: bool = True, dropout_rng=None,
+                   impl: str = "auto") -> jnp.ndarray:
+    if impl == "auto":
+        impl = _DEFAULT_IMPL
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and (attn_drop == 0.0 or deterministic)) else "jnp"
+    if impl == "pallas":
+        from fastervit_tpu.ops.pallas_attention import fused_bias_attention
+        return fused_bias_attention(q, k, v, bias, scale)
+    return bias_attention_reference(q, k, v, bias, scale, attn_drop,
+                                    deterministic, dropout_rng)

@@ -1,0 +1,85 @@
+"""Numerical parity: fastervit_tpu (JAX) vs the reference PyTorch model.
+
+Random-initialized reference weights are converted through
+fastervit_tpu.utils.convert and the two models must agree on logits to fp32
+tolerance — this exercises every layout/numerics subtlety at once (BN eps,
+16·sigmoid CPB bias, ct token ordering, propagation, pad/crop). Mirrors the
+reference's own kernel-vs-reference test strategy (SURVEY.md §4 item 4).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from reference_loader import load_reference  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fastervit_tpu import create_model  # noqa: E402
+from fastervit_tpu.utils.convert import convert_state_dict  # noqa: E402
+
+
+def _compare(name: str, torch_kwargs: dict, jax_kwargs: dict, resolution,
+             batch: int = 2, atol: float = 2e-4, any_res: bool = False,
+             features: bool = False):
+    import torch
+    fv = load_reference()
+    torch.manual_seed(0)
+    full = name.replace("_224", "_any_res") if any_res else name
+    tm = fv.create_model(full, **torch_kwargs)
+    tm.eval()
+
+    jm = create_model(full, **jax_kwargs)
+    variables = convert_state_dict(tm.state_dict(), jm.init())
+
+    rng = np.random.RandomState(42)
+    h, w = resolution
+    x = rng.randn(batch, 3, h, w).astype(np.float32)
+    with torch.no_grad():
+        if features:
+            ty = tm.forward_features(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+        else:
+            ty = tm(torch.from_numpy(x)).numpy()
+    jy = np.asarray(jm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             return_features=features))
+    np.testing.assert_allclose(jy, ty, atol=atol, rtol=1e-3)
+    return float(np.abs(jy - ty).max())
+
+
+def test_parity_faster_vit_0_224():
+    diff = _compare("faster_vit_0_224", {}, {}, (224, 224))
+    print("max |diff| fv0:", diff)
+
+
+def test_parity_tiny_propagation_layer_scale():
+    """Small custom config exercising layer_scale, carrier-token propagation,
+    and the hat pos-embed path (reference faster_vit.py:693-700)."""
+    kw = dict(depths=[1, 1, 2, 2], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              layer_scale=1e-5, do_propagation=True)
+    diff = _compare("faster_vit_0_224", kw, kw, (224, 224))
+    print("max |diff| tiny-prop:", diff)
+
+
+def test_parity_any_res_rectangular():
+    """Rectangular input with runtime pad/crop and non-square sr_ratio
+    (reference faster_vit_any_res.py:824-870)."""
+    kw = dict(depths=[1, 1, 2, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              resolution=[96, 160])
+    diff = _compare("faster_vit_0_224", kw, kw, (96, 160), any_res=True)
+    print("max |diff| any-res:", diff)
+
+
+def test_parity_features():
+    """forward_features parity (pre-head NHWC feature map)."""
+    kw = dict(depths=[1, 1, 2, 2], num_heads=[1, 2, 4, 8], dim=32, in_dim=16)
+    diff = _compare("faster_vit_0_224", kw, kw, (224, 224), features=True)
+    print("max |diff| features:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_2_224():
+    diff = _compare("faster_vit_2_224", {}, {}, (224, 224), batch=1)
+    print("max |diff| fv2:", diff)
