@@ -1,0 +1,69 @@
+"""Benchmark: flagship FasterViT-0 inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 5802 img/s — FasterViT-0 on A100 with TensorRT
+(/root/reference/README.md:150, BASELINE.md).
+
+Method mirrors the reference's validate.py throughput meter
+(validate.py:286-344): warmup batch, then steady-state timing around
+blocking dispatches. bf16 compute (the TPU analog of the TensorRT fp16
+deployment path), fp32 params.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODEL = "faster_vit_0_224"
+BASELINE_IMG_S = 5802.0  # A100 TensorRT, reference README.md:150
+BATCH = 256
+ITERS = 30
+
+
+def main():
+    import fastervit_tpu as fvt
+
+    model = fvt.create_model(MODEL, dtype=jnp.bfloat16)
+    variables = jax.jit(model.module.init)(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, 224, 224, 3)))
+
+    # each iteration's input depends on the previous output so async dispatch
+    # through the device relay cannot overlap/elide steps
+    @jax.jit
+    def fwd_chained(v, x, s):
+        out = model.module.apply(v, x)
+        return out, s + out[0, 0].astype(jnp.float32)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(BATCH, 224, 224, 3),
+                    jnp.bfloat16)
+    s = jnp.zeros((), jnp.float32)
+    out, s = fwd_chained(variables, x, s)      # compile
+    float(s)                                    # host fetch = true barrier
+    out, s = fwd_chained(variables, x, s)      # warmup
+    float(s)
+
+    # NOTE: through the axon relay, block_until_ready can return before the
+    # device has executed; a host fetch of a result-dependent scalar is the
+    # only reliable barrier, and the iteration chain (s feeds back in)
+    # serializes execution.
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out, s = fwd_chained(variables, x, s)
+    float(s)
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": f"{MODEL} inference images/sec/chip (bf16, 224px, batch {BATCH})",
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
