@@ -223,20 +223,17 @@ class WindowAttention(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
         bias = PosEmbMLPSwinv2D(
             window_size=(self.resolution, self.resolution),
             pretrained_window_size=(self.resolution, self.resolution),
             num_heads=self.num_heads, seq_length=self.seq_length,
             ct_correct=self.ct_correct, dtype=self.dtype,
             name="pos_emb_funct")()
-        x = attention_ops.bias_attention(
-            q, k, v, bias, scale,
+        x = attention_ops.window_mhsa(
+            qkv, bias, self.num_heads, scale,
             attn_drop=self.attn_drop, deterministic=deterministic,
             dropout_rng=self.make_rng("dropout") if (self.attn_drop > 0.0 and not deterministic) else None,
             impl=self.attn_impl)
-        x = x.transpose(0, 2, 1, 3).reshape(b, n, c)
         x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="proj")(x)
         if self.proj_drop > 0.0:

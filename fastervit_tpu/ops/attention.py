@@ -52,13 +52,37 @@ def bias_attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhst,bhtd->bhsd", attn, v)
 
 
-def bias_attention(q, k, v, bias, scale, *, attn_drop: float = 0.0,
-                   deterministic: bool = True, dropout_rng=None,
-                   impl: str = "auto") -> jnp.ndarray:
+def _resolve_impl(impl: str, can_fuse: bool) -> str:
     if impl == "auto":
         impl = _DEFAULT_IMPL
     if impl == "auto":
-        impl = "pallas" if (_on_tpu() and (attn_drop == 0.0 or deterministic)) else "jnp"
+        impl = "pallas" if (_on_tpu() and can_fuse) else "jnp"
+    return impl
+
+
+def window_mhsa(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
+                scale: float, *, attn_drop: float = 0.0,
+                deterministic: bool = True, dropout_rng=None,
+                impl: str = "auto") -> jnp.ndarray:
+    """Multi-head attention over per-window sequences, straight from the qkv
+    projection output. qkv: (B, S, 3C) (channel layout (3, H, hd)); bias:
+    (H, S, S). Returns (B, S, C) context — the model's hot path."""
+    impl = _resolve_impl(impl, can_fuse=(attn_drop == 0.0 or deterministic))
+    if impl == "pallas":
+        from fastervit_tpu.ops.pallas_attention import fused_window_mhsa
+        return fused_window_mhsa(qkv, bias, num_heads, scale)
+    b, s, c3 = qkv.shape
+    hd = c3 // 3 // num_heads
+    parts = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    ctx = bias_attention_reference(parts[0], parts[1], parts[2], bias, scale,
+                                   attn_drop, deterministic, dropout_rng)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, c3 // 3)
+
+
+def bias_attention(q, k, v, bias, scale, *, attn_drop: float = 0.0,
+                   deterministic: bool = True, dropout_rng=None,
+                   impl: str = "auto") -> jnp.ndarray:
+    impl = _resolve_impl(impl, can_fuse=(attn_drop == 0.0 or deterministic))
     if impl == "pallas":
         from fastervit_tpu.ops.pallas_attention import fused_bias_attention
         return fused_bias_attention(q, k, v, bias, scale)

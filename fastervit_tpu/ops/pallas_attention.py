@@ -1,12 +1,160 @@
-"""Fused bias-attention Pallas TPU kernel (placeholder — falls back to jnp).
+"""Fused window+carrier attention Pallas TPU kernel.
 
-Real kernel lands next: grid over batch*windows, (S, S) logits resident in
-VMEM, bias tile shared across the batch grid dimension.
+FasterViT's attention sites (reference faster_vit.py:557-568, 679) operate on
+many small windows: (B = batch*num_windows) sequences of S = ws²(+ct²) tokens
+(53..2308) with a dense per-head bias. The XLA lowering of the naive path
+materializes three layout transposes (qkv split) and the (B, H, S, S) logits
+in HBM. This kernel instead:
+
+  * consumes the qkv projection output (B, S, 3C) directly — no host-side
+    head split / transpose; heads are sliced in VMEM (channel layout is
+    (3, H, hd) fastest-last, matching the reference's reshape),
+  * keeps logits + softmax entirely in VMEM per (TB-window, head) tile,
+  * adds the bias from a VMEM-resident (H, S, S) tile shared across the grid,
+  * writes the (B, S, C) context ready for the output projection.
+
+Backward: custom VJP that recomputes probabilities (flash-style remat) and
+evaluates the standard attention gradient with XLA einsums — a Pallas
+backward kernel can replace it later without touching callers.
 """
 from __future__ import annotations
 
-from fastervit_tpu.ops.attention import bias_attention_reference
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def fused_bias_attention(q, k, v, bias, scale):
-    return bias_attention_reference(q, k, v, bias, scale)
+def _pick_block_b(b: int) -> int:
+    for tb in (16, 8, 4, 2, 1):
+        if b % tb == 0:
+            return tb
+    return 1
+
+
+def _mhsa_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int, scale: float):
+    tb, s, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // num_heads
+    qkv = qkv_ref[:]
+    bias = bias_ref[:]
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (TB, S, S)
+        logits = logits * scale + bias[h][None].astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (TB, S, hd)
+        out_ref[:, :, h * hd:(h + 1) * hd] = ctx.astype(out_ref.dtype)
+
+
+def _mhsa_forward(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
+                  scale: float, interpret: bool) -> jnp.ndarray:
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    tb = _pick_block_b(b)
+    kernel = functools.partial(_mhsa_kernel, num_heads=num_heads, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, s, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, s, s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * (c // num_heads),
+            bytes_accessed=(qkv.size + b * s * c) * qkv.dtype.itemsize
+            + bias.size * bias.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+    )(qkv, bias)
+
+
+def _split_heads(qkv, num_heads):
+    b, s, c3 = qkv.shape
+    hd = c3 // 3 // num_heads
+    qkv = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]  # each (B, H, S, hd)
+
+
+def _mhsa_reference(qkv, bias, num_heads, scale):
+    """jnp fallback with identical semantics (used for grad + CPU)."""
+    q, k, v = _split_heads(qkv, num_heads)
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[None].astype(jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v)
+    b, s = qkv.shape[0], qkv.shape[1]
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, -1).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_window_mhsa(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
+                      scale: float, interpret: bool = False) -> jnp.ndarray:
+    """softmax(q kᵀ·scale + bias) v over per-window sequences.
+
+    qkv: (B, S, 3C) with channels factored (3, H, hd); bias: (H, S, S).
+    Returns (B, S, C)."""
+    return _mhsa_forward(qkv, bias, num_heads, scale, interpret)
+
+
+def _fwd(qkv, bias, num_heads, scale, interpret):
+    return _mhsa_forward(qkv, bias, num_heads, scale, interpret), (qkv, bias)
+
+
+def _bwd(num_heads, scale, interpret, res, g):
+    qkv, bias = res
+    q, k, v = _split_heads(qkv, num_heads)
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    g = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # (B,H,S,hd)
+
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[None].astype(jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)                        # (B,H,S,T)
+
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dp = jnp.einsum("bhsd,bhtd->bhst", gf, vf)
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dbias = jnp.sum(dlogits, axis=0).astype(bias.dtype)
+    dq = jnp.einsum("bhst,bhtd->bhsd", dlogits, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhst,bhsd->bhtd", dlogits, q.astype(jnp.float32)) * scale
+    dv = jnp.einsum("bhst,bhsd->bhtd", p, gf)
+
+    dqkv = jnp.stack([dq, dk, dv], axis=0)                     # (3,B,H,S,hd)
+    dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, c3).astype(qkv.dtype)
+    return dqkv, dbias
+
+
+fused_window_mhsa.defvjp(_fwd, _bwd)
+
+
+# Back-compat shim for the (q, k, v, bias) signature used by tests/older call
+# sites: packs heads back into (B, S, 3C) and calls the fused kernel.
+def fused_bias_attention(q, k, v, bias, scale, interpret: bool = False):
+    b, h, s, d = q.shape
+    pack = jnp.stack([q, k, v], axis=0)          # (3, B, H, S, D)
+    qkv = pack.transpose(1, 3, 0, 2, 4).reshape(b, s, 3 * h * d)
+    out = fused_window_mhsa(qkv, bias, h, scale, interpret)
+    return out.reshape(b, s, h, d).transpose(0, 2, 1, 3)
