@@ -1,0 +1,93 @@
+"""ImageNet-style input pipeline (reference utils/datasets.py + timm
+create_loader, re-designed host-side for TPU feeding).
+
+An ImageFolder directory tree (class-per-subdir) is indexed once; per-host
+sharding follows `jax.process_index()` (the GSPMD analog of
+DistributedSampler, samplers cited in SURVEY.md §2.10). Decode + resize run
+in a thread pool; batches come out as numpy ready for device_put onto a
+batch-sharded mesh. A synthetic dataset covers smoke tests and benchmarking
+without data.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fastervit_tpu.data.preprocess import eval_transform
+from fastervit_tpu.models.config import DataConfig
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def index_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
+    """Walk a class-per-subdir tree -> (paths, labels, class_names)."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    paths, labels = [], []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(idx)
+    return paths, labels, classes
+
+
+class EvalLoader:
+    """Deterministic, host-sharded eval loader (last partial batch padded and
+    masked via 'valid')."""
+
+    def __init__(self, root: str, cfg: DataConfig, batch_size: int,
+                 num_workers: int = 16, process_index: int = 0,
+                 process_count: int = 1):
+        paths, labels, self.classes = index_image_folder(root)
+        self.paths = paths[process_index::process_count]
+        self.labels = np.asarray(labels[process_index::process_count], np.int32)
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return (len(self.paths) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        h, w = self.cfg.input_size
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, len(self.paths), self.batch_size):
+                chunk = self.paths[start:start + self.batch_size]
+                imgs = list(pool.map(lambda p: eval_transform(p, self.cfg), chunk))
+                n = len(imgs)
+                batch = np.zeros((self.batch_size, h, w, 3), np.float32)
+                batch[:n] = np.stack(imgs)
+                labels = np.zeros((self.batch_size,), np.int32)
+                labels[:n] = self.labels[start:start + n]
+                valid = np.zeros((self.batch_size,), bool)
+                valid[:n] = True
+                yield {"image": batch, "label": labels, "valid": valid}
+
+
+class SyntheticLoader:
+    """Random data with the right shapes — smoke tests / benchmarking."""
+
+    def __init__(self, cfg: DataConfig, batch_size: int, num_batches: int = 16,
+                 num_classes: int = 1000, seed: int = 0):
+        self.cfg, self.batch_size = cfg, batch_size
+        self.num_batches, self.num_classes = num_batches, num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        h, w = self.cfg.input_size
+        for _ in range(self.num_batches):
+            yield {
+                "image": rng.randn(self.batch_size, h, w, 3).astype(np.float32),
+                "label": rng.randint(0, self.num_classes,
+                                     self.batch_size).astype(np.int32),
+                "valid": np.ones((self.batch_size,), bool),
+            }

@@ -146,13 +146,17 @@ def make_train_step(module, tx: optax.GradientTransformation,
 
 def make_eval_step(module):
     """eval_step(variables, batch) -> metrics with summed correct counts
-    (caller divides by total count; global under a sharded jit)."""
+    (caller divides by total count; global under a sharded jit). Respects an
+    optional boolean 'valid' mask for padded final batches."""
     def eval_step(variables, batch):
         logits = module.apply(variables, batch["image"])
         labels = batch["label"]
-        loss = L.cross_entropy(logits, labels)
-        top1 = (jnp.argmax(logits, -1) == labels).sum()
-        top5 = (jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1).sum()
-        return {"loss_sum": loss * labels.shape[0], "top1": top1,
-                "top5": top5, "count": jnp.asarray(labels.shape[0])}
+        valid = batch.get("valid", jnp.ones(labels.shape, bool))
+        per_ex = -jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                      labels[:, None], axis=-1)[:, 0]
+        top1 = ((jnp.argmax(logits, -1) == labels) & valid).sum()
+        top5 = ((jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1)
+                & valid).sum()
+        return {"loss_sum": jnp.where(valid, per_ex, 0.0).sum(), "top1": top1,
+                "top5": top5, "count": valid.sum()}
     return eval_step

@@ -1,0 +1,121 @@
+"""Model validation (reference fastervit/validate.py:152-447, rebuilt):
+single-model eval over a batch-sharded mesh, bulk validation over name
+wildcards, and OOM-resilient batch-size decay retry.
+
+Usage:
+    python -m fastervit_tpu.validate --model faster_vit_0_224 \
+        --data-dir /path/to/imagenet/val --checkpoint weights.pth.tar
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fastervit_tpu.models.registry import create_model, list_models
+from fastervit_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from fastervit_tpu.train.steps import make_eval_step
+
+log = logging.getLogger("fastervit_tpu.validate")
+
+
+def validate(model, variables, loader, mesh=None, dtype=jnp.float32) -> dict:
+    """Run eval; returns {'top1', 'top5', 'loss', 'img_s', 'count'}."""
+    mesh = mesh or create_mesh()
+    repl, bsh = replicated(mesh), batch_sharding(mesh)
+    eval_step = jax.jit(make_eval_step(model.module), in_shardings=(repl, bsh))
+    totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+    images = 0
+    t_start = None
+    with mesh:
+        variables = jax.device_put(variables, repl)
+        for i, batch in enumerate(loader):
+            batch = {"image": jax.device_put(jnp.asarray(batch["image"], dtype), bsh),
+                     "label": jax.device_put(jnp.asarray(batch["label"]), bsh),
+                     "valid": jax.device_put(jnp.asarray(batch["valid"]), bsh)}
+            m = eval_step(variables, batch)
+            m = jax.tree.map(lambda x: x.item(), m)   # host fetch = barrier
+            if i == 0:
+                t_start = time.perf_counter()         # skip compile in rate
+            else:
+                images += m["count"]
+            for k in totals:
+                totals[k] += m[k]
+    dt = time.perf_counter() - t_start if t_start else float("inf")
+    n = max(totals["count"], 1)
+    return {"top1": 100.0 * totals["top1"] / n,
+            "top5": 100.0 * totals["top5"] / n,
+            "loss": totals["loss_sum"] / n,
+            "img_s": images / dt if dt > 0 else 0.0,
+            "count": totals["count"]}
+
+
+def validate_with_batch_decay(make_loader, model, variables,
+                              batch_size: int, decay_step: int = 2,
+                              retries: int = 3, **kw) -> dict:
+    """Halve the batch size on resource exhaustion (reference
+    validate.py:367-387 decay_batch_step / check_batch_size_retry)."""
+    bs = batch_size
+    for attempt in range(retries + 1):
+        try:
+            return validate(model, variables, make_loader(bs), **kw)
+        except (jax.errors.JaxRuntimeError, RuntimeError) as e:  # RESOURCE_EXHAUSTED
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == retries:
+                raise
+            bs = max(bs // decay_step, 1)
+            log.warning("eval OOM; retrying with batch_size=%d", bs)
+    raise RuntimeError("unreachable")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="faster_vit_0_224",
+                   help="name or fnmatch wildcard for bulk validation")
+    p.add_argument("--data-dir", required=False, default=None)
+    p.add_argument("--checkpoint", default="",
+                   help="reference .pth.tar to convert, or orbax dir")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--synthetic", action="store_true",
+                   help="random data (smoke test / throughput only)")
+    args = p.parse_args(argv)
+
+    names = list_models(args.model) or [args.model]
+    results = []
+    for name in names:
+        model = create_model(name, dtype=getattr(jnp, args.dtype))
+        if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+            variables = model.load_pytorch(args.checkpoint)
+        elif args.checkpoint:
+            from fastervit_tpu.utils.checkpoint import restore_variables
+            variables = restore_variables(args.checkpoint, model)
+        else:
+            log.warning("no checkpoint: random weights (smoke test)")
+            variables = model.init(jax.random.PRNGKey(0))
+
+        if args.synthetic or not args.data_dir:
+            from fastervit_tpu.data.imagenet import SyntheticLoader
+            make_loader = lambda bs: SyntheticLoader(model.cfg.data, bs,
+                                                     num_batches=8)
+        else:
+            from fastervit_tpu.data.imagenet import EvalLoader
+            make_loader = lambda bs: EvalLoader(args.data_dir, model.cfg.data,
+                                                bs)
+        res = validate_with_batch_decay(make_loader, model, variables,
+                                        args.batch_size)
+        res["model"] = name
+        print(json.dumps(res))
+        results.append(res)
+    return results
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()
