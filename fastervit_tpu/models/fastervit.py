@@ -45,6 +45,7 @@ class FasterViTLayer(nn.Module):
     only_local: bool = False
     hierarchy: bool = True
     do_propagation: bool = False
+    dynamic_mode: bool = False   # downstream runtime-dynamic variant
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -73,6 +74,7 @@ class FasterViTLayer(nn.Module):
             if do_gt:
                 ct = TokenInitializer(self.dim, input_resolution=(hp, wp),
                                       window_size=ws, ct_size=self.ct_size,
+                                      raster_output=self.dynamic_mode,
                                       dtype=self.dtype, name="global_tokenizer")(x)
             x = window_partition(x, ws)
             for i in range(self.depth):
@@ -82,7 +84,8 @@ class FasterViTLayer(nn.Module):
                             qk_scale=self.qk_scale, drop=self.drop,
                             attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                             layer_scale=self.layer_scale, last=(i == self.depth - 1),
-                            do_propagation=self.do_propagation, dtype=self.dtype,
+                            do_propagation=self.do_propagation,
+                            dynamic_mode=self.dynamic_mode, dtype=self.dtype,
                             attn_impl=self.attn_impl,
                             name=f"blocks_{i}")(x, ct, deterministic=deterministic)
             x = window_reverse(x, ws, hp, wp)
@@ -97,7 +100,7 @@ class FasterViTLayer(nn.Module):
         return x
 
 
-def _build_levels(cfg: FasterViTConfig, dtype, attn_impl):
+def _build_levels(cfg: FasterViTConfig, dtype, attn_impl, dynamic_mode=False):
     """Construct the four stage modules; must be called inside an active
     @nn.compact context so the layers bind to the calling module."""
     dpr = cfg.drop_path_schedule()
@@ -114,8 +117,8 @@ def _build_levels(cfg: FasterViTConfig, dtype, attn_impl):
             drop_path=dpr[start:start + cfg.depths[i]],
             layer_scale=cfg.layer_scale, layer_scale_conv=cfg.layer_scale_conv,
             only_local=not cfg.hat[i], hierarchy=True,
-            do_propagation=cfg.do_propagation, dtype=dtype,
-            attn_impl=attn_impl, name=f"levels_{i}"))
+            do_propagation=cfg.do_propagation, dynamic_mode=dynamic_mode,
+            dtype=dtype, attn_impl=attn_impl, name=f"levels_{i}"))
     return levels
 
 
@@ -154,13 +157,18 @@ class FasterViT(nn.Module):
 class FasterViTPyramid(nn.Module):
     """Feature-pyramid mode: per-stage pre-downsample features with per-stage
     norms, for detection/tracking backbones (reference
-    downstream/object_detection/dino/models/dino/fastervit.py:705-707,792-846).
+    downstream/object_detection/dino/models/dino/fastervit.py:705-707,
+    792-846). The DINO backbone's per-stage norm is BatchNorm2d by default
+    (fastervit.py:737); 'layernorm' selects the LayerNorm2d option.
 
     Returns a dict {'res2': (B,H/4,W/4,C), ..., 'res5': ...} of normalized
-    stage outputs (LayerNorm2d per stage, matching the DINO backbone's norm{i}
-    heads)."""
+    NHWC stage outputs. Stage freezing (fastervit.py:801-812) is functional
+    in JAX: use `frozen_param_labels` with optax.multi_transform /
+    set_to_zero to freeze patch_embed / early levels."""
     cfg: FasterViTConfig
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    stage_norm: str = "batchnorm"  # 'batchnorm' | 'layernorm'
+    dynamic_mode: bool = True      # downstream backbones use the dynamic variant
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -170,10 +178,35 @@ class FasterViTPyramid(nn.Module):
         x = PatchEmbed(in_dim=cfg.in_dim, dim=cfg.dim, dtype=self.dtype,
                        name="patch_embed")(x, training=training)
         feats = {}
-        for i, level in enumerate(_build_levels(cfg, self.dtype, self.attn_impl)):
+        for i, level in enumerate(_build_levels(cfg, self.dtype, self.attn_impl,
+                                                self.dynamic_mode)):
             x, pre = level(x, training=training, return_pre_downsample=True)
             if i in self.out_indices:
-                pre = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                   name=f"norm_{i}")(pre)
+                if self.stage_norm == "batchnorm":
+                    pre = nn.BatchNorm(use_running_average=not training,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=f"norm_{i}")(pre)
+                else:
+                    pre = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name=f"norm_{i}")(pre)
                 feats[f"res{i + 2}"] = pre
         return feats
+
+
+def frozen_param_labels(params, frozen_stages: int = -1):
+    """Label pytree for optax.multi_transform: 'frozen' for patch_embed
+    (frozen_stages >= 0) and levels_0..frozen_stages-2 (frozen_stages >= 2),
+    matching the DINO backbone's _freeze_stages (fastervit.py:801-812);
+    'trainable' otherwise."""
+    import jax
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if frozen_stages >= 0 and top == "patch_embed":
+            return "frozen"
+        if frozen_stages >= 2 and top.startswith("levels_"):
+            if int(top.split("_")[1]) < frozen_stages - 1:
+                return "frozen"
+        return "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)

@@ -88,18 +88,42 @@ def _rank1_coords(seq_length: int) -> np.ndarray:
     return coords[:, None]  # (seq, 1)
 
 
+def _rank2_coords_dynamic(grid_h: int, grid_w: int) -> np.ndarray:
+    """Runtime-dynamic downstream variant (dino/motr fastervit.py
+    PosEmbMLPSwinv1D.forward): rectangular grid normalized by the *total*
+    token count // 2 instead of the grid edge // 2."""
+    seq = grid_h * grid_w
+    table = np.stack(np.meshgrid(np.arange(grid_h, dtype=np.float32),
+                                 np.arange(grid_w, dtype=np.float32),
+                                 indexing="ij"))
+    table -= seq // 2
+    table /= seq // 2
+    return table.reshape(2, -1).T
+
+
 class PosEmbMLPSwinv1D(nn.Module):
     """Absolute position bias: normalized grid -> MLP(rank->512->dim), added to
     tokens (reference PosEmbMLPSwinv1D, faster_vit.py:313-367). The coordinate
-    table is a trace-time constant; only the two matmuls run on device."""
+    table is a trace-time constant; only the two matmuls run on device.
+
+    `grid` + `norm_by_seq` select the downstream runtime-dynamic variant's
+    coordinate convention (dino fastervit.py:176-230)."""
     dim: int
     seq_length: int
     rank: int = 2
+    grid: Optional[Tuple[int, int]] = None
+    norm_by_seq: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        coords = _rank2_coords(self.seq_length) if self.rank == 2 else _rank1_coords(self.seq_length)
+        if self.rank == 1:
+            coords = _rank1_coords(self.seq_length)
+        elif self.norm_by_seq:
+            gh, gw = self.grid or (int(self.seq_length ** 0.5),) * 2
+            coords = _rank2_coords_dynamic(gh, gw)
+        else:
+            coords = _rank2_coords(self.seq_length)
         h = nn.Dense(512, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="fc1")(jnp.asarray(coords, dtype=self.dtype))
         h = nn.relu(h)
@@ -310,6 +334,7 @@ class TokenInitializer(nn.Module):
     input_resolution: Tuple[int, int]   # padded stage resolution
     window_size: int
     ct_size: int = 1
+    raster_output: bool = False         # runtime-dynamic downstream variant
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -328,6 +353,16 @@ class TokenInitializer(nn.Module):
                         strides=(pool[0][1], pool[1][1]))
         b, hc, wc, c = x.shape
         cs = self.ct_size
+        if self.raster_output:
+            # downstream variant (dino fastervit.py:567-591): pad the pooled
+            # grid to a ct multiple and emit tokens in RASTER order with the
+            # grid dims carried alongside
+            pad_b = (cs - hc % cs) % cs
+            pad_r = (cs - wc % cs) % cs
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            hp, wp = hc + pad_b, wc + pad_r
+            return x.reshape(b, hp * wp, c), (hp, wp)
         ct = x.reshape(b, hc // cs, cs, wc // cs, cs, c)
         ct = ct.transpose(0, 1, 3, 2, 4, 5)  # (B, nWh, nWw, cs, cs, C)
         return ct.reshape(b, hc * wc, c)
@@ -354,6 +389,7 @@ class HAT(nn.Module):
     layer_scale: Optional[float] = None
     last: bool = False
     do_propagation: bool = False
+    dynamic_mode: bool = False   # downstream runtime-dynamic variant (dino/motr)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -376,19 +412,28 @@ class HAT(nn.Module):
         mlp_hidden = int(self.dim * self.mlp_ratio)
 
         x = PosEmbMLPSwinv1D(self.dim, seq_length=ws * ws, rank=2,
+                             grid=(ws, ws), norm_by_seq=self.dynamic_mode,
                              dtype=self.dtype, name="pos_embed")(x)
 
         cr_per_window = cs * cs if self.do_sr_hat else 0
+        grid_dims = None
+        if self.dynamic_mode and isinstance(ct, tuple):
+            ct, grid_dims = ct
 
         if self.do_sr_hat:
             bg, ng, cg = ct.shape
-            gh, gw = cs * self.sr_ratio[0], cs * self.sr_ratio[1]
-            cr_total = cr_per_window * self.sr_ratio[0] * self.sr_ratio[1]
+            if grid_dims is not None:
+                gh, gw = grid_dims
+            else:
+                gh, gw = cs * self.sr_ratio[0], cs * self.sr_ratio[1]
+            cr_total = gh * gw
             g1, g2 = gamma("gamma1"), gamma("gamma2")
 
             ct = ct_dewindow(ct, gh, gw, cs)
-            if self.square:
+            if self.square or self.dynamic_mode:
                 ct = PosEmbMLPSwinv1D(self.dim, seq_length=cr_total, rank=2,
+                                      grid=(gh, gw),
+                                      norm_by_seq=self.dynamic_mode,
                                       dtype=self.dtype, name="hat_pos_embed")(ct)
             hat_dp = DropPath(self.drop_path, name="hat_drop_path")
             attn_out = WindowAttention(
@@ -434,4 +479,6 @@ class HAT(nn.Module):
                 # (reference faster_vit.py:697-700; fp32 cast kept for parity)
                 up = nearest_upsample_tokens(ctr.astype(jnp.float32), cs, ws)
                 x = x + g1 * up.astype(x.dtype)
+        if self.dynamic_mode:
+            return x, (ct, grid_dims)
         return x, ct

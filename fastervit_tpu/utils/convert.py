@@ -67,6 +67,9 @@ def torch_key_for_path(path: Tuple[str, ...]) -> str:
                 out.append("downsample")
         elif p in ("fc1", "fc2") and out and out[-1].split(".")[-1] in _CPB_PARENTS:
             out.append("cpb_mlp." + ("0" if p == "fc1" else "2"))
+        elif p.startswith("norm_") and p[len("norm_"):].isdigit():
+            # pyramid per-stage norms: norm_0 -> norm0 (dino fastervit.py:792-796)
+            out.append("norm" + p[len("norm_"):])
         else:
             out.append(p)
         i += 1
@@ -111,12 +114,21 @@ def convert_state_dict(state_dict: Dict[str, Any], variables) -> Any:
     for path, init_val in flat:
         parts = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
         tkey = torch_key_for_path(parts[1:])  # drop collection name
+        if tkey not in state_dict and "to_global_feature.pos" in tkey:
+            # core registers the tokenizer conv twice (pos_embed and
+            # to_global_feature.pos, faster_vit.py:726-730); the downstream
+            # variants only keep pos_embed
+            tkey = tkey.replace("to_global_feature.pos", "pos_embed")
         if tkey not in state_dict:
             missing.append(tkey)
             leaves.append(init_val)
             continue
         arr = _to_jax_array(state_dict[tkey], init_val.shape)
         used.add(tkey)
+        used.add(tkey.replace("pos_embed", "to_global_feature.pos")
+                 if tkey.endswith(("pos_embed.weight", "pos_embed.bias"))
+                 and "global_tokenizer" in tkey else tkey)
+        used.add(tkey.replace("to_global_feature.pos", "pos_embed"))
         if arr.shape != init_val.shape:
             mismatched.append((tkey, arr.shape, tuple(init_val.shape)))
             leaves.append(init_val)
