@@ -1,0 +1,42 @@
+"""Export smoke tests (reference onnx_test.py:13-18 pattern: run the exported
+artifact and check outputs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fastervit_tpu as fvt
+from fastervit_tpu.utils.export import (export_savedmodel, export_stablehlo,
+                                        load_stablehlo)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    m = fvt.create_model("faster_vit_0_224", depths=[1, 1, 1, 1],
+                         num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                         resolution=64, num_classes=10)
+    v = m.init(jax.random.PRNGKey(0))
+    return m, v
+
+
+def test_stablehlo_roundtrip_dynamic_batch(tiny):
+    model, variables = tiny
+    blob, _ = export_stablehlo(model, variables)
+    fn = load_stablehlo(blob)
+    x2 = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    x5 = jnp.tile(x2, (3, 1, 1, 1))[:5]
+    want = model.apply(variables, x2)
+    got = fn(x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert fn(x5).shape == (5, 10)  # dynamic batch works
+
+
+def test_savedmodel_export(tiny, tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    model, variables = tiny
+    d = export_savedmodel(model, variables, str(tmp_path / "sm"), batch_size=2)
+    loaded = tf.saved_model.load(d)
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    got = loaded.f(tf.constant(x)).numpy()
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
