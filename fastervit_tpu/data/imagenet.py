@@ -38,12 +38,20 @@ def index_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
 
 class EvalLoader:
     """Deterministic, host-sharded eval loader (last partial batch padded and
-    masked via 'valid')."""
+    masked via 'valid').
+
+    `class_to_idx` remaps folder class names to label ids — used for
+    ImageNet-A/R/V2 style subsets whose 200 wnid folders must map into the
+    1k label space (reference README robustness table, README.md:286-367).
+    """
 
     def __init__(self, root: str, cfg: DataConfig, batch_size: int,
                  num_workers: int = 16, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, class_to_idx: Optional[dict] = None):
         paths, labels, self.classes = index_image_folder(root)
+        if class_to_idx is not None:
+            remap = np.asarray([class_to_idx[c] for c in self.classes])
+            labels = remap[np.asarray(labels)]
         self.paths = paths[process_index::process_count]
         self.labels = np.asarray(labels[process_index::process_count], np.int32)
         self.cfg = cfg

@@ -24,11 +24,44 @@ from fastervit_tpu.train.steps import make_eval_step
 log = logging.getLogger("fastervit_tpu.validate")
 
 
-def validate(model, variables, loader, mesh=None, dtype=jnp.float32) -> dict:
+class _MaskedModule:
+    """Wrap a module so eval adds a logit mask (subset benchmarks)."""
+
+    def __init__(self, module, mask):
+        self._module = module
+        self._mask = mask
+
+    def apply(self, variables, x, **kw):
+        return self._module.apply(variables, x, **kw) + self._mask
+
+
+def subset_logit_mask(classes, class_index_file: str, num_classes: int = 1000):
+    """Logit mask for subset benchmarks (ImageNet-A/R have 200 of the 1k
+    classes): classes present in the eval set keep their logits, the rest get
+    -inf before argmax — the standard subset-evaluation protocol.
+
+    `class_index_file`: one wnid per line in 1k-index order (the sorted train
+    class list); `classes`: the eval folder's class names."""
+    with open(class_index_file) as f:
+        all_classes = [l.strip() for l in f if l.strip()]
+    class_to_idx = {c: i for i, c in enumerate(all_classes)}
+    mask = jnp.full((num_classes,), -jnp.inf)
+    idx = jnp.asarray([class_to_idx[c] for c in classes])
+    mask = mask.at[idx].set(0.0)
+    return mask, class_to_idx
+
+
+def validate(model, variables, loader, mesh=None, dtype=jnp.float32,
+             logit_mask=None) -> dict:
     """Run eval; returns {'top1', 'top5', 'loss', 'img_s', 'count'}."""
     mesh = mesh or create_mesh()
     repl, bsh = replicated(mesh), batch_sharding(mesh)
-    eval_step = jax.jit(make_eval_step(model.module), in_shardings=(repl, bsh))
+    base_step = make_eval_step(model.module)
+    if logit_mask is not None:
+        inner = make_eval_step(_MaskedModule(model.module, logit_mask))
+        eval_step = jax.jit(inner, in_shardings=(repl, bsh))
+    else:
+        eval_step = jax.jit(base_step, in_shardings=(repl, bsh))
     totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
     images = 0
     t_start = None
@@ -85,6 +118,9 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--synthetic", action="store_true",
                    help="random data (smoke test / throughput only)")
+    p.add_argument("--class-index-file", default="",
+                   help="1k wnid list (one per line, index order) enabling "
+                        "ImageNet-A/R/V2-style subset evaluation")
     args = p.parse_args(argv)
 
     names = list_models(args.model) or [args.model]
@@ -100,16 +136,22 @@ def main(argv=None):
             log.warning("no checkpoint: random weights (smoke test)")
             variables = model.init(jax.random.PRNGKey(0))
 
+        logit_mask = None
         if args.synthetic or not args.data_dir:
             from fastervit_tpu.data.imagenet import SyntheticLoader
             make_loader = lambda bs: SyntheticLoader(model.cfg.data, bs,
                                                      num_batches=8)
         else:
-            from fastervit_tpu.data.imagenet import EvalLoader
+            from fastervit_tpu.data.imagenet import EvalLoader, index_image_folder
+            class_to_idx = None
+            if args.class_index_file:
+                classes = index_image_folder(args.data_dir)[2]
+                logit_mask, class_to_idx = subset_logit_mask(
+                    classes, args.class_index_file, model.cfg.num_classes)
             make_loader = lambda bs: EvalLoader(args.data_dir, model.cfg.data,
-                                                bs)
+                                                bs, class_to_idx=class_to_idx)
         res = validate_with_batch_decay(make_loader, model, variables,
-                                        args.batch_size)
+                                        args.batch_size, logit_mask=logit_mask)
         res["model"] = name
         print(json.dumps(res))
         results.append(res)
