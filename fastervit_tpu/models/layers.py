@@ -225,6 +225,65 @@ class PosEmbMLPSwinv2D(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Declare Dense-compatible params without computing (for fused kernels);
+    names/shapes/init identical to nn.Dense so variables interchange with the
+    composed path."""
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init, (self.din, self.dout))
+        b = (self.param("bias", nn.initializers.zeros, (self.dout,))
+             if self.use_bias else jnp.zeros((self.dout,), k.dtype))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """WindowAttention's parameter set + computed bias, no attention compute."""
+    dim: int
+    num_heads: int
+    resolution: int
+    seq_length: int
+    qkv_bias: bool = True
+    ct_correct: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.dim, 3 * self.dim, self.qkv_bias, name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        bias = PosEmbMLPSwinv2D(
+            window_size=(self.resolution, self.resolution),
+            pretrained_window_size=(self.resolution, self.resolution),
+            num_heads=self.num_heads, seq_length=self.seq_length,
+            ct_correct=self.ct_correct, dtype=self.dtype,
+            name="pos_emb_funct")()
+        return qkv, proj, bias
+
+
+class _MlpParams(nn.Module):
+    din: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.din, self.hidden, name="fc1")(),
+                _DenseParams(self.hidden, self.din, name="fc2")())
+
+
 class WindowAttention(nn.Module):
     """MHSA over a window (+ prepended carrier tokens) with the CPB bias
     (reference WindowAttention, faster_vit.py:515-568)."""
@@ -401,6 +460,63 @@ class HAT(nn.Module):
     def square(self) -> bool:
         return self.sr_ratio[0] == self.sr_ratio[1]
 
+    def _sub_block(self, x, names, resolution, seq_length, g_attn, g_mlp,
+                   dp, deterministic):
+        """One pre-LN attention+MLP residual pair — used for both the
+        carrier-token section (hat_*) and the joint windowed section. Routes
+        through the fully-fused Pallas block when eligible (deterministic, no
+        attention/proj dropout, weights fit VMEM, pallas backend)."""
+        from fastervit_tpu.ops.pallas_hat_block import (fused_block_supported,
+                                                        fused_hat_block)
+        n1, attn_name, n2, mlp_name = names
+        mlp_hidden = int(self.dim * self.mlp_ratio)
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+        impl = attention_ops._resolve_impl(self.attn_impl, can_fuse=True)
+        use_fused = (impl == "pallas" and deterministic
+                     and self.drop == 0.0 and self.attn_drop == 0.0)
+        if use_fused:
+            (qkv_w, qkv_b), (proj_w, proj_b), bias = _AttnParams(
+                self.dim, self.num_heads, resolution, seq_length,
+                self.qkv_bias, dtype=self.dtype, name=attn_name)()
+            ln1_s, ln1_b = _LayerNormParams(self.dim, name=n1)()
+            ln2_s, ln2_b = _LayerNormParams(self.dim, name=n2)()
+            (fc1_w, fc1_b), (fc2_w, fc2_b) = _MlpParams(
+                self.dim, mlp_hidden, name=mlp_name)()
+            ones = jnp.ones((self.dim,), jnp.float32)
+            cd = self.dtype
+            params = {
+                "ln1_scale": ln1_s, "ln1_bias": ln1_b,
+                "qkv_w": qkv_w.astype(cd), "qkv_b": qkv_b,
+                "proj_w": proj_w.astype(cd), "proj_b": proj_b,
+                "gamma3": g_attn if not isinstance(g_attn, float) else ones,
+                "ln2_scale": ln2_s, "ln2_bias": ln2_b,
+                "fc1_w": fc1_w.astype(cd), "fc1_b": fc1_b,
+                "fc2_w": fc2_w.astype(cd), "fc2_b": fc2_b,
+                "gamma4": g_mlp if not isinstance(g_mlp, float) else ones,
+            }
+            if fused_block_supported(x.shape, params):
+                interpret = not attention_ops._on_tpu()
+                return fused_hat_block(x, params, bias, self.num_heads,
+                                       scale, interpret)
+            # fall through to the jnp composition with the declared params
+            from fastervit_tpu.ops.pallas_hat_block import hat_block_reference
+            return hat_block_reference(x, params, bias, self.num_heads, scale)
+        attn_out = WindowAttention(
+            self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+            proj_drop=self.drop, resolution=resolution,
+            seq_length=seq_length, dtype=self.dtype, attn_impl=self.attn_impl,
+            name=attn_name)(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=n1)(x),
+                deterministic=deterministic)
+        x = x + dp(g_attn * attn_out, deterministic=deterministic)
+        mlp_out = Mlp(mlp_hidden, self.dim, drop=self.drop, dtype=self.dtype,
+                      name=mlp_name)(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=n2)(x),
+            deterministic=deterministic)
+        return x + dp(g_mlp * mlp_out, deterministic=deterministic)
+
     @nn.compact
     def __call__(self, x, ct, deterministic: bool = True):
         b, t, c = x.shape  # b = batch * num_windows
@@ -436,20 +552,9 @@ class HAT(nn.Module):
                                       norm_by_seq=self.dynamic_mode,
                                       dtype=self.dtype, name="hat_pos_embed")(ct)
             hat_dp = DropPath(self.drop_path, name="hat_drop_path")
-            attn_out = WindowAttention(
-                self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-                proj_drop=self.drop, resolution=int(cr_total ** 0.5),
-                seq_length=cr_total, dtype=self.dtype, attn_impl=self.attn_impl,
-                name="hat_attn")(
-                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm1")(ct),
-                    deterministic=deterministic)
-            ct = ct + hat_dp(g1 * attn_out, deterministic=deterministic)
-            mlp_out = Mlp(mlp_hidden, self.dim, drop=self.drop, dtype=self.dtype,
-                          name="hat_mlp")(
-                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="hat_norm2")(ct),
-                deterministic=deterministic)
-            ct = ct + hat_dp(g2 * mlp_out, deterministic=deterministic)
+            ct = self._sub_block(ct, ("hat_norm1", "hat_attn", "hat_norm2",
+                                      "hat_mlp"), int(cr_total ** 0.5),
+                                 cr_total, g1, g2, hat_dp, deterministic)
 
             ct = ct_window(ct, gh, gw, cs)
             ct_per_win = ct.reshape(b, cr_per_window, c)
@@ -457,19 +562,8 @@ class HAT(nn.Module):
 
         # joint windowed attention over (ct + window) tokens
         g3, g4 = gamma("gamma3"), gamma("gamma4")
-        attn_out = WindowAttention(
-            self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
-            resolution=ws, seq_length=ws * ws + cr_per_window, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn")(
-                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
-                deterministic=deterministic)
-        x = x + dp(g3 * attn_out, deterministic=deterministic)
-        mlp_out = Mlp(mlp_hidden, self.dim, drop=self.drop, dtype=self.dtype,
-                      name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
-            deterministic=deterministic)
-        x = x + dp(g4 * mlp_out, deterministic=deterministic)
+        x = self._sub_block(x, ("norm1", "attn", "norm2", "mlp"), ws,
+                            ws * ws + cr_per_window, g3, g4, dp, deterministic)
 
         if self.do_sr_hat:
             ctr, x = x[:, :cr_per_window], x[:, cr_per_window:]

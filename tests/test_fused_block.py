@@ -1,0 +1,83 @@
+"""Fully-fused HAT block kernel: equality with the jnp composition, gradient
+correctness, and model-level equivalence of fused vs composed paths."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fastervit_tpu as fvt
+from fastervit_tpu.ops.pallas_hat_block import (fused_block_supported,
+                                                fused_hat_block,
+                                                hat_block_reference)
+
+
+def _make(b=8, s=53, h=4, c=128, hidden=None, seed=0):
+    rng = np.random.RandomState(seed)
+    hidden = hidden or 4 * c
+    x = jnp.asarray(rng.randn(b, s, c) * 0.5, jnp.float32)
+    params = {
+        "ln1_scale": jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+        "ln1_bias": jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+        "qkv_w": jnp.asarray(rng.randn(c, 3 * c) * 0.05, jnp.float32),
+        "qkv_b": jnp.asarray(rng.randn(3 * c) * 0.05, jnp.float32),
+        "proj_w": jnp.asarray(rng.randn(c, c) * 0.05, jnp.float32),
+        "proj_b": jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        "gamma3": jnp.asarray(rng.rand(c), jnp.float32),
+        "ln2_scale": jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+        "ln2_bias": jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+        "fc1_w": jnp.asarray(rng.randn(c, hidden) * 0.05, jnp.float32),
+        "fc1_b": jnp.asarray(rng.randn(hidden) * 0.05, jnp.float32),
+        "fc2_w": jnp.asarray(rng.randn(hidden, c) * 0.05, jnp.float32),
+        "fc2_b": jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        "gamma4": jnp.asarray(rng.rand(c), jnp.float32),
+    }
+    bias = jnp.asarray(rng.randn(h, s, s), jnp.float32)
+    return x, params, bias
+
+
+@pytest.mark.parametrize("b,s,h,c", [(8, 53, 4, 128), (4, 16, 8, 128),
+                                     (8, 49, 2, 64)])
+def test_fused_block_matches_reference(b, s, h, c):
+    x, params, bias = _make(b, s, h, c)
+    scale = (c // h) ** -0.5
+    got = fused_hat_block(x, params, bias, h, scale, True)
+    want = hat_block_reference(x, params, bias, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_gradients():
+    x, params, bias = _make(4, 16, 2, 64)
+    scale = 32 ** -0.5
+    cot = jnp.asarray(np.random.RandomState(5).randn(4, 16, 64), jnp.float32)
+
+    g_fused = jax.grad(lambda x, p, b: jnp.sum(
+        fused_hat_block(x, p, b, 2, scale, True) * cot), argnums=(0, 1, 2))(
+        x, params, bias)
+    g_ref = jax.grad(lambda x, p, b: jnp.sum(
+        hat_block_reference(x, p, b, 2, scale) * cot), argnums=(0, 1, 2))(
+        x, params, bias)
+    jax.tree.map(lambda a, e: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(e), atol=1e-4, rtol=1e-4), g_fused, g_ref)
+
+
+def test_supported_gating():
+    x, params, bias = _make(4, 16, 2, 64)
+    assert fused_block_supported(x.shape, params)
+    assert not fused_block_supported((4, 2304, 1568), params,
+                                     act_limit=1024)
+
+
+def test_model_fused_equals_composed():
+    """Whole model: attn_impl='pallas' (fused blocks, interpret on CPU) must
+    match attn_impl='jnp' (composed modules) on the same variables."""
+    kw = dict(depths=[1, 1, 2, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              resolution=112, num_classes=10, layer_scale=1e-5,
+              do_propagation=True)
+    m_jnp = fvt.create_model("faster_vit_0_224", attn_impl="jnp", **kw)
+    m_pal = fvt.create_model("faster_vit_0_224", attn_impl="pallas", **kw)
+    v = m_jnp.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 112, 112, 3), jnp.float32)
+    a = np.asarray(m_jnp.apply(v, x))
+    b = np.asarray(m_pal.apply(v, x))
+    np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
