@@ -1,0 +1,186 @@
+"""Multi-object-tracking metrics: CLEAR (MOTA/MOTP/IDSW), Identity (IDF1),
+HOTA — the metric suite the reference vendors as TrackEval
+(downstream/object_tracking/motrv2/TrackEval: metrics/clear.py,
+identity.py, hota.py semantics, re-derived from the published definitions).
+
+Input format (one sequence):
+    data = {
+      "num_gt_ids": G, "num_tracker_ids": P,
+      "gt_ids": [int array per frame], "tracker_ids": [int array per frame],
+      "similarity_scores": [(len(gt_t), len(trk_t)) array per frame],
+    }
+Similarity is IoU-like in [0, 1]. IDs are 0..G-1 / 0..P-1.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+EPS = np.finfo(float).eps
+
+
+def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
+    """CLEAR-MOT: frame-by-frame matching with previous-match continuity
+    (Bernardin & Stiefelhagen 2008; TrackEval clear.py semantics)."""
+    tp = fn = fp = idsw = 0
+    motp_sum = 0.0
+    prev_match: Dict[int, int] = {}       # gt_id -> tracker_id (last match)
+    gt_total = 0
+    for t in range(len(data["gt_ids"])):
+        gids = np.asarray(data["gt_ids"][t])
+        pids = np.asarray(data["tracker_ids"][t])
+        sim = np.asarray(data["similarity_scores"][t], float)
+        gt_total += len(gids)
+        if len(gids) == 0:
+            fp += len(pids)
+            continue
+        if len(pids) == 0:
+            fn += len(gids)
+            continue
+        # bonus for continuing the previous frame's assignment
+        score = sim.copy()
+        for i, g in enumerate(gids):
+            if g in prev_match:
+                j = np.where(pids == prev_match[g])[0]
+                if len(j):
+                    score[i, j[0]] += 1000.0 * (sim[i, j[0]] >= threshold - EPS)
+        score = np.where(sim >= threshold - EPS, score, -1e9)
+        rows, cols = linear_sum_assignment(-score)
+        matched = sim[rows, cols] >= threshold - EPS
+        rows, cols = rows[matched], cols[matched]
+        tp += len(rows)
+        fn += len(gids) - len(rows)
+        fp += len(pids) - len(rows)
+        motp_sum += float(sim[rows, cols].sum())
+        for i, j in zip(rows, cols):
+            g, p = int(gids[i]), int(pids[j])
+            if g in prev_match and prev_match[g] != p:
+                idsw += 1
+            prev_match[g] = p
+    mota = 1.0 - (fn + fp + idsw) / max(1, gt_total)
+    return {"MOTA": mota, "MOTP": motp_sum / max(1, tp), "CLR_TP": tp,
+            "CLR_FN": fn, "CLR_FP": fp, "IDSW": idsw,
+            "CLR_Re": tp / max(1, tp + fn), "CLR_Pr": tp / max(1, tp + fp)}
+
+
+def identity_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
+    """ID metrics (Ristani et al. 2016): one global bipartite assignment of
+    gt tracks to predicted tracks maximizing ID-TP (TrackEval identity.py)."""
+    g, p = data["num_gt_ids"], data["num_tracker_ids"]
+    potential = np.zeros((g, p))
+    gt_count = np.zeros(g)
+    trk_count = np.zeros(p)
+    for t in range(len(data["gt_ids"])):
+        gids = np.asarray(data["gt_ids"][t])
+        pids = np.asarray(data["tracker_ids"][t])
+        sim = np.asarray(data["similarity_scores"][t], float)
+        gt_count[gids] += 1
+        trk_count[pids] += 1
+        if len(gids) and len(pids):
+            ok = sim >= threshold - EPS
+            potential[gids[:, None], pids[None, :]] += ok
+    # square LP with auxiliary unmatched rows/cols (Ristani et al. 2016):
+    # real-real cost = IDFN+IDFP of the pairing; gt i may go unmatched only
+    # via its own aux column (cost = its IDFN), likewise predictions.
+    big = 1e10
+    size = g + p
+    cost = np.full((size, size), big)
+    cost[:g, :p] = gt_count[:, None] + trk_count[None, :] - 2 * potential
+    cost[np.arange(g), p + np.arange(g)] = gt_count
+    cost[g + np.arange(p), np.arange(p)] = trk_count
+    cost[g:, p:] = 0.0
+    rows, cols = linear_sum_assignment(cost)
+    idtp = idfn = idfp = 0.0
+    for r, c in zip(rows, cols):
+        if r < g and c < p:
+            idtp += potential[r, c]
+            idfn += gt_count[r] - potential[r, c]
+            idfp += trk_count[c] - potential[r, c]
+        elif r < g:
+            idfn += gt_count[r]
+        elif c < p:
+            idfp += trk_count[c]
+    idf1 = 2 * idtp / max(EPS, 2 * idtp + idfn + idfp)
+    idr = idtp / max(EPS, idtp + idfn)
+    idp = idtp / max(EPS, idtp + idfp)
+    return {"IDF1": idf1, "IDR": idr, "IDP": idp, "IDTP": idtp,
+            "IDFN": idfn, "IDFP": idfp}
+
+
+def hota_metrics(data: Dict,
+                 alphas: np.ndarray = np.arange(0.05, 0.99, 0.05)) -> Dict:
+    """HOTA (Luiten et al. 2021; TrackEval hota.py): detection/association
+    decomposition averaged over 19 IoU thresholds."""
+    g, p = data["num_gt_ids"], data["num_tracker_ids"]
+    nt = len(data["gt_ids"])
+    # global alignment score from soft potential matches
+    potential = np.zeros((g, p))
+    gt_count = np.zeros(g)
+    trk_count = np.zeros(p)
+    for t in range(nt):
+        gids = np.asarray(data["gt_ids"][t])
+        pids = np.asarray(data["tracker_ids"][t])
+        sim = np.asarray(data["similarity_scores"][t], float)
+        gt_count[gids] += 1
+        trk_count[pids] += 1
+        if len(gids) and len(pids):
+            denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+            sim_iou = np.zeros_like(sim)
+            mask = sim > EPS
+            sim_iou[mask] = sim[mask] / denom[mask]
+            potential[gids[:, None], pids[None, :]] += sim_iou
+    global_align = potential / np.maximum(
+        gt_count[:, None] + trk_count[None, :] - potential, EPS)
+
+    na = len(alphas)
+    tp = np.zeros(na)
+    fn = np.zeros(na)
+    fp = np.zeros(na)
+    match_counts = np.zeros((na, g, p))
+    for t in range(nt):
+        gids = np.asarray(data["gt_ids"][t])
+        pids = np.asarray(data["tracker_ids"][t])
+        sim = np.asarray(data["similarity_scores"][t], float)
+        if len(gids) == 0:
+            fp += len(pids)
+            continue
+        if len(pids) == 0:
+            fn += len(gids)
+            continue
+        score = global_align[gids[:, None], pids[None, :]] * sim
+        rows, cols = linear_sum_assignment(-score)
+        matched_sim = sim[rows, cols]
+        for a, alpha in enumerate(alphas):
+            ok = matched_sim >= alpha - EPS
+            n_m = int(ok.sum())
+            tp[a] += n_m
+            fn[a] += len(gids) - n_m
+            fp[a] += len(pids) - n_m
+            match_counts[a][gids[rows[ok]], pids[cols[ok]]] += 1
+
+    det_a = tp / np.maximum(1, tp + fn + fp)
+    ass_a = np.zeros(na)
+    for a in range(na):
+        if tp[a] > 0:
+            ass = match_counts[a] / np.maximum(
+                EPS, gt_count[:, None] + trk_count[None, :] - match_counts[a])
+            ass_a[a] = (ass * match_counts[a]).sum() / tp[a]
+    hota = np.sqrt(det_a * ass_a)
+    return {"HOTA": float(hota.mean()), "DetA": float(det_a.mean()),
+            "AssA": float(ass_a.mean()), "HOTA_alpha": hota,
+            "DetA_alpha": det_a, "AssA_alpha": ass_a}
+
+
+def evaluate_sequences(seqs: List[Dict]) -> Dict[str, float]:
+    """Average metrics over sequences (simple mean, TrackEval-style summary)."""
+    outs = []
+    for d in seqs:
+        m = {}
+        m.update(clear_metrics(d))
+        m.update(identity_metrics(d))
+        m.update(hota_metrics(d))
+        outs.append(m)
+    keys = ["MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA"]
+    return {k: float(np.mean([o[k] for o in outs])) for k in keys}
