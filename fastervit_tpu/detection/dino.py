@@ -1,0 +1,138 @@
+"""DINO-style detector on a FasterViT pyramid backbone + set criterion +
+postprocessing (reference downstream/object_detection/dino/models/dino/
+dino.py:38 DINO, :344 SetCriterion, :655 PostProcess — rebuilt functional).
+
+Round-1 scope: 4-scale detector with two-stage deformable transformer,
+focal-loss Hungarian criterion (class + L1 + GIoU, aux losses per decoder
+layer), and top-k postprocess. Contrastive denoising (CDN) training is the
+headline DINO trick still to come.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastervit_tpu.detection.transformer import DeformableTransformer
+from fastervit_tpu.models.config import FasterViTConfig
+from fastervit_tpu.models.fastervit import FasterViTPyramid
+from fastervit_tpu.ops.boxes import (box_cxcywh_to_xyxy,
+                                     generalized_box_iou,
+                                     hungarian_cost_matrix, hungarian_match)
+
+
+class DINODetector(nn.Module):
+    """Backbone pyramid -> 1x1 input projections (+GroupNorm) -> deformable
+    transformer -> per-layer class/box predictions."""
+    backbone_cfg: FasterViTConfig
+    num_classes: int = 91
+    dim: int = 256
+    num_queries: int = 900
+    enc_layers: int = 6
+    dec_layers: int = 6
+    num_feature_levels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, training: bool = False):
+        feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
+                                 name="backbone")(images, training=training)
+        keys = sorted(feats)  # res2..res5
+        keys = keys[-self.num_feature_levels:]
+        srcs, shapes = [], []
+        for i, kname in enumerate(keys):
+            f = feats[kname]
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                        name=f"input_proj_{i}")(f)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"input_proj_norm_{i}")(x)
+            b, h, w, _ = x.shape
+            shapes.append((h, w))
+            srcs.append(x.reshape(b, h * w, self.dim))
+        src = jnp.concatenate(srcs, axis=1)
+        out = DeformableTransformer(
+            dim=self.dim, num_queries=self.num_queries,
+            num_classes=self.num_classes, enc_layers=self.enc_layers,
+            dec_layers=self.dec_layers, dtype=self.dtype,
+            name="transformer")(src, tuple(shapes),
+                                deterministic=not training)
+        return out
+
+
+# ---------------- losses (SetCriterion, dino.py:344) ---------------------------
+
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25,
+                       gamma: float = 2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = -(targets * jax.nn.log_sigmoid(logits)
+           + (1 - targets) * jax.nn.log_sigmoid(-logits))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+    return loss
+
+
+def criterion(outputs: Dict, targets: List[Dict], num_classes: int,
+              weight_class: float = 1.0, weight_bbox: float = 5.0,
+              weight_giou: float = 2.0) -> Dict[str, jnp.ndarray]:
+    """Hungarian set criterion over all decoder layers (aux losses included).
+
+    targets: per-image dicts {'labels': (T,), 'boxes': (T, 4) cxcywh in [0,1]}.
+    Matching runs on host (tiny LPs); losses are jnp.
+    """
+    total = {"loss_ce": 0.0, "loss_bbox": 0.0, "loss_giou": 0.0}
+    num_layers = len(outputs["logits"])
+    num_boxes = max(1, sum(len(t["labels"]) for t in targets))
+    for li in range(num_layers):
+        logits = outputs["logits"][li]
+        boxes = outputs["boxes"][li]
+        for bi, tgt in enumerate(targets):
+            t_labels = jnp.asarray(tgt["labels"])
+            t_boxes = jnp.asarray(tgt["boxes"])
+            q = logits.shape[1]
+            onehot = jnp.zeros((q, num_classes))
+            if len(t_labels):
+                cost = hungarian_cost_matrix(
+                    logits[bi], boxes[bi], t_labels, t_boxes,
+                    cost_class=2.0, cost_bbox=weight_bbox,
+                    cost_giou=weight_giou)
+                rows, cols = hungarian_match(np.asarray(
+                    jax.lax.stop_gradient(cost)))
+                onehot = onehot.at[rows].set(
+                    jax.nn.one_hot(t_labels[cols], num_classes))
+                pb = boxes[bi][rows]
+                tb = t_boxes[cols]
+                total["loss_bbox"] += jnp.sum(jnp.abs(pb - tb)) / num_boxes
+                giou = generalized_box_iou(box_cxcywh_to_xyxy(pb),
+                                           box_cxcywh_to_xyxy(tb))
+                total["loss_giou"] += jnp.sum(1 - jnp.diag(giou)) / num_boxes
+            total["loss_ce"] += sigmoid_focal_loss(
+                logits[bi], onehot).sum() / num_boxes
+    scale = 1.0  # already summed over layers (DETR aux-loss convention)
+    total = {k: v * scale for k, v in total.items()}
+    total["loss"] = (weight_class * total["loss_ce"]
+                     + weight_bbox * total["loss_bbox"]
+                     + weight_giou * total["loss_giou"])
+    return total
+
+
+def postprocess(outputs: Dict, target_sizes, num_select: int = 300):
+    """Top-k detections from the last decoder layer
+    (reference PostProcess, dino.py:655): returns per-image
+    {'scores', 'labels', 'boxes' (xyxy, absolute)}."""
+    logits = outputs["logits"][-1]
+    boxes = outputs["boxes"][-1]
+    b, q, k = logits.shape
+    prob = jax.nn.sigmoid(logits).reshape(b, q * k)
+    scores, idx = jax.lax.top_k(prob, num_select)
+    labels = idx % k
+    qidx = idx // k
+    xyxy = box_cxcywh_to_xyxy(jnp.take_along_axis(boxes, qidx[..., None],
+                                                  axis=1))
+    h, w = target_sizes[..., 0], target_sizes[..., 1]
+    scale = jnp.stack([w, h, w, h], -1)[:, None, :]
+    return {"scores": scores, "labels": labels, "boxes": xyxy * scale}

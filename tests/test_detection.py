@@ -1,0 +1,81 @@
+"""Detection stack tests: detector shapes, criterion behavior, AP evaluator
+with hand-computed expectations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fastervit_tpu as fvt
+from fastervit_tpu.detection.coco_eval import evaluate_detections
+from fastervit_tpu.detection.dino import (DINODetector, criterion,
+                                          postprocess, sigmoid_focal_loss)
+
+
+def _tiny_detector():
+    cfg = fvt.get_config("faster_vit_0_224", depths=[1, 1, 1, 1],
+                         num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                         resolution=128)
+    return DINODetector(backbone_cfg=cfg, num_classes=7, dim=64,
+                        num_queries=20, enc_layers=1, dec_layers=2)
+
+
+def test_detector_forward_shapes():
+    det = _tiny_detector()
+    x = jnp.zeros((2, 128, 128, 3))
+    v = det.init(jax.random.PRNGKey(0), x)
+    out = det.apply(v, x)
+    assert len(out["logits"]) == 2 and len(out["boxes"]) == 2
+    assert out["logits"][-1].shape == (2, 20, 7)
+    assert out["boxes"][-1].shape == (2, 20, 4)
+    b = np.asarray(out["boxes"][-1])
+    assert (b >= 0).all() and (b <= 1).all()
+    post = postprocess(out, jnp.asarray([[128, 128], [128, 128]]),
+                       num_select=10)
+    assert post["boxes"].shape == (2, 10, 4)
+    assert post["labels"].max() < 7
+
+
+def test_criterion_decreases_for_better_predictions():
+    q, c = 8, 5
+    targets = [{"labels": np.array([2]), "boxes": np.array([[0.5, 0.5, 0.2, 0.2]])}]
+    good_logits = jnp.full((1, q, c), -6.0).at[0, 0, 2].set(6.0)
+    good_boxes = jnp.tile(jnp.asarray([[0.9, 0.9, 0.05, 0.05]]), (q, 1))[None]
+    good_boxes = good_boxes.at[0, 0].set(jnp.asarray([0.5, 0.5, 0.2, 0.2]))
+    bad_logits = jnp.zeros((1, q, c))
+    bad_boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.9, 0.9]]), (q, 1))[None]
+    good = criterion({"logits": [good_logits], "boxes": [good_boxes]},
+                     targets, num_classes=c)
+    bad = criterion({"logits": [bad_logits], "boxes": [bad_boxes]},
+                    targets, num_classes=c)
+    assert float(good["loss"]) < float(bad["loss"])
+    assert float(good["loss_giou"]) < 0.1
+
+
+def test_focal_loss_known_value():
+    # p = 0.5 everywhere: focal = 0.25*0.25*ln2 for the positive entry
+    logits = jnp.zeros((2, 3))
+    targets = jnp.zeros((2, 3)).at[0, 1].set(1.0)
+    loss = sigmoid_focal_loss(logits, targets)
+    np.testing.assert_allclose(float(loss[0, 1]),
+                               0.25 * 0.25 * np.log(2), rtol=1e-6)
+    np.testing.assert_allclose(float(loss[0, 0]),
+                               0.75 * 0.25 * np.log(2), rtol=1e-6)
+
+
+def test_coco_eval_perfect_and_half():
+    gt = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]]),
+           "labels": np.array([1, 1])}]
+    perfect = [{"boxes": gt[0]["boxes"].copy(), "labels": np.array([1, 1]),
+                "scores": np.array([0.9, 0.8])}]
+    res = evaluate_detections(perfect, gt)
+    assert abs(res["mAP"] - 1.0) < 1e-6 and abs(res["AP50"] - 1.0) < 1e-6
+    # one detection matches, one is far off: AP ~= 0.5 at every threshold
+    half = [{"boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]]),
+             "labels": np.array([1, 1]), "scores": np.array([0.9, 0.8])}]
+    res2 = evaluate_detections(half, gt)
+    assert abs(res2["AP50"] - 0.5) < 0.02
+    # detection at IoU ~0.6 counts at thr .5/.55/.6 but not above
+    shifted = [{"boxes": np.array([[0, 2.5, 10, 12.5]]),
+                "labels": np.array([1]), "scores": np.array([0.9])}]
+    gt1 = [{"boxes": np.array([[0, 0, 10, 10]]), "labels": np.array([1])}]
+    res3 = evaluate_detections(shifted, gt1)
+    assert res3["AP50"] > 0.9 and res3["AP75"] == 0.0
