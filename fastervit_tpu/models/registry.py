@@ -89,6 +89,18 @@ class Model:
         from fastervit_tpu.utils.convert import load_pytorch_checkpoint
         return load_pytorch_checkpoint(self, checkpoint_path)
 
+    def aot_compile(self, variables, batch_size: int, dtype=jnp.float32):
+        """Deploy mode (the reference's switch_to_deploy analog,
+        faster_vit.py:263-264): AOT-compile the forward with variables
+        closed over as constants — position-bias MLPs fold away entirely.
+        Returns a ready-to-call compiled executable."""
+        import functools
+        fn = jax.jit(functools.partial(self.module.apply, variables))
+        h, w = self.cfg.resolution
+        spec = jax.ShapeDtypeStruct((batch_size, h, w, self.cfg.in_chans),
+                                    dtype)
+        return fn.lower(spec).compile()
+
 
 def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
                  dtype=jnp.float32, attn_impl: str = "auto",

@@ -158,3 +158,32 @@ def load_pytorch_checkpoint(model, checkpoint_path: str, use_ema: bool = False,
     sd = normalize_state_dict(ckpt, use_ema=use_ema)
     variables = model.init(rng)
     return convert_state_dict(sd, variables)
+
+
+def main(argv=None):
+    """CLI: convert a reference .pth.tar into an orbax checkpoint.
+
+        python -m fastervit_tpu.utils.convert \
+            --model faster_vit_0_224 --checkpoint fv0.pth.tar --out fv0_orbax
+    """
+    import argparse
+
+    from fastervit_tpu.models.registry import create_model
+    from fastervit_tpu.utils.checkpoint import save_variables
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--use-ema", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    model = create_model(args.model)
+    variables = load_pytorch_checkpoint(model, args.checkpoint,
+                                        use_ema=args.use_ema)
+    save_variables(args.out, variables)
+    print(f"converted {args.checkpoint} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
