@@ -47,7 +47,8 @@ class EvalLoader:
 
     def __init__(self, root: str, cfg: DataConfig, batch_size: int,
                  num_workers: int = 16, process_index: int = 0,
-                 process_count: int = 1, class_to_idx: Optional[dict] = None):
+                 process_count: int = 1, class_to_idx: Optional[dict] = None,
+                 tta: int = 0):
         paths, labels, self.classes = index_image_folder(root)
         if class_to_idx is not None:
             remap = np.asarray([class_to_idx[c] for c in self.classes])
@@ -57,21 +58,29 @@ class EvalLoader:
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_workers = num_workers
+        if tta not in (0, 1, 2):
+            raise ValueError("tta oversampling supports factor 2 (orig+hflip)")
+        self.tta = tta
 
     def __len__(self):
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
         h, w = self.cfg.input_size
+        factor = self.tta if self.tta > 1 else 1
+        per_batch = self.batch_size // factor
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            for start in range(0, len(self.paths), self.batch_size):
-                chunk = self.paths[start:start + self.batch_size]
+            for start in range(0, len(self.paths), per_batch):
+                chunk = self.paths[start:start + per_batch]
                 imgs = list(pool.map(lambda p: eval_transform(p, self.cfg), chunk))
+                if factor == 2:
+                    imgs = [im for x in imgs for im in (x, x[:, ::-1])]
                 n = len(imgs)
                 batch = np.zeros((self.batch_size, h, w, 3), np.float32)
                 batch[:n] = np.stack(imgs)
                 labels = np.zeros((self.batch_size,), np.int32)
-                labels[:n] = self.labels[start:start + n]
+                labels[:n] = np.repeat(self.labels[start:start + len(chunk)],
+                                       factor)
                 valid = np.zeros((self.batch_size,), bool)
                 valid[:n] = True
                 yield {"image": batch, "label": labels, "valid": valid}

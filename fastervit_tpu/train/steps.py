@@ -111,15 +111,17 @@ def make_train_step(module, tx: optax.GradientTransformation,
         def loss_fn(params):
             logits, mut = forward(params, state.batch_stats, images, rng_drop)
             loss = loss_from_logits(logits, targets, soft)
+            loss = loss.astype(jnp.float32)
             if cfg.mesa > 0.0 and state.ema_params is not None:
                 def kd(_):
                     teacher = module.apply(
                         {"params": state.ema_params,
                          "batch_stats": state.ema_batch_stats}, images)
-                    return L.mesa_kd_loss(logits, jax.lax.stop_gradient(teacher))
+                    return L.mesa_kd_loss(
+                        logits, jax.lax.stop_gradient(teacher)).astype(jnp.float32)
                 loss = loss + cfg.mesa * jax.lax.cond(
                     state.step >= cfg.mesa_start_step, kd,
-                    lambda _: jnp.zeros((), loss.dtype), None)
+                    lambda _: jnp.zeros((), jnp.float32), None)
             return loss, (logits, mut["batch_stats"])
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
@@ -155,7 +157,8 @@ def make_eval_step(module):
         per_ex = -jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
                                       labels[:, None], axis=-1)[:, 0]
         top1 = ((jnp.argmax(logits, -1) == labels) & valid).sum()
-        top5 = ((jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1)
+        k = min(5, logits.shape[-1])
+        top5 = ((jax.lax.top_k(logits, k)[1] == labels[:, None]).any(-1)
                 & valid).sum()
         return {"loss_sum": jnp.where(valid, per_ex, 0.0).sum(), "top1": top1,
                 "top5": top5, "count": valid.sum()}

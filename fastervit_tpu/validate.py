@@ -15,6 +15,7 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from fastervit_tpu.models.registry import create_model, list_models
@@ -35,6 +36,21 @@ class _MaskedModule:
         return self._module.apply(variables, x, **kw) + self._mask
 
 
+class _TTAModule:
+    """Test-time-augmentation reduction (reference train.py:981-985): the
+    loader oversamples each image `factor` times consecutively; logits are
+    mean-reduced per group."""
+
+    def __init__(self, module, factor: int):
+        self._module = module
+        self._factor = factor
+
+    def apply(self, variables, x, **kw):
+        out = self._module.apply(variables, x, **kw)
+        b, c = out.shape
+        return out.reshape(b // self._factor, self._factor, c).mean(1)
+
+
 def subset_logit_mask(classes, class_index_file: str, num_classes: int = 1000):
     """Logit mask for subset benchmarks (ImageNet-A/R have 200 of the 1k
     classes): classes present in the eval set keep their logits, the rest get
@@ -52,26 +68,44 @@ def subset_logit_mask(classes, class_index_file: str, num_classes: int = 1000):
 
 
 def validate(model, variables, loader, mesh=None, dtype=jnp.float32,
-             logit_mask=None) -> dict:
-    """Run eval; returns {'top1', 'top5', 'loss', 'img_s', 'count'}."""
+             logit_mask=None, tta: int = 0, real_labels=None) -> dict:
+    """Run eval; returns {'top1', 'top5', 'loss', 'img_s', 'count'}.
+
+    tta > 1: the loader oversamples each image `tta` consecutive times
+    (EvalLoader(tta=2) gives [orig, hflip]); logits are mean-reduced per
+    group (reference train.py:981-985). real_labels: a data.real_labels.
+    RealLabels accumulator (single-process eval)."""
     mesh = mesh or create_mesh()
     repl, bsh = replicated(mesh), batch_sharding(mesh)
-    base_step = make_eval_step(model.module)
+    module = model.module
     if logit_mask is not None:
-        inner = make_eval_step(_MaskedModule(model.module, logit_mask))
-        eval_step = jax.jit(inner, in_shardings=(repl, bsh))
-    else:
-        eval_step = jax.jit(base_step, in_shardings=(repl, bsh))
+        module = _MaskedModule(module, logit_mask)
+    if tta > 1:
+        module = _TTAModule(module, tta)
+    eval_step = jax.jit(make_eval_step(module), in_shardings=(repl, bsh))
+    topk_fn = None
+    if real_labels is not None:
+        topk_fn = jax.jit(
+            lambda v, x: jax.lax.top_k(module.apply(v, x), 5)[1],
+            in_shardings=(repl, bsh))
     totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
     images = 0
     t_start = None
     with mesh:
         variables = jax.device_put(variables, repl)
         for i, batch in enumerate(loader):
-            batch = {"image": jax.device_put(jnp.asarray(batch["image"], dtype), bsh),
-                     "label": jax.device_put(jnp.asarray(batch["label"]), bsh),
-                     "valid": jax.device_put(jnp.asarray(batch["valid"]), bsh)}
+            label = jnp.asarray(batch["label"])
+            valid = jnp.asarray(batch["valid"])
+            if tta > 1:
+                label, valid = label[::tta], valid[::tta]
+            images_dev = jax.device_put(jnp.asarray(batch["image"], dtype), bsh)
+            batch = {"image": images_dev,
+                     "label": jax.device_put(label, bsh),
+                     "valid": jax.device_put(valid, bsh)}
             m = eval_step(variables, batch)
+            if real_labels is not None:
+                idx = np.asarray(topk_fn(variables, images_dev))
+                real_labels.add_result(idx[np.asarray(valid)])
             m = jax.tree.map(lambda x: x.item(), m)   # host fetch = barrier
             if i == 0:
                 t_start = time.perf_counter()         # skip compile in rate

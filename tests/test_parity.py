@@ -72,6 +72,16 @@ def test_parity_any_res_rectangular():
     print("max |diff| any-res:", diff)
 
 
+def test_parity_21k_style_global_attention():
+    """21k-variant geometry: stage-2 window == resolution (sr=1, HAT off,
+    global single-window attention; reference faster_vit.py:1255-1284)."""
+    kw = dict(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              window_size=[7, 7, 14, 7], hat=[False, False, False, False],
+              layer_scale=1e-5)
+    diff = _compare("faster_vit_0_224", kw, kw, (224, 224))
+    print("max |diff| 21k-style:", diff)
+
+
 def test_parity_features():
     """forward_features parity (pre-head NHWC feature map)."""
     kw = dict(depths=[1, 1, 2, 2], num_heads=[1, 2, 4, 8], dim=32, in_dim=16)
