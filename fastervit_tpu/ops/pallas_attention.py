@@ -28,11 +28,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block_b(b: int) -> int:
+def _pick_block_b(b: int, row_bytes: int = 0,
+                  budget: int = 10 * 1024 * 1024) -> int:
+    """Largest batch-tile that divides b and keeps ~row_bytes*tb under the
+    VMEM budget (Mosaic's scoped-vmem stack is 16MB; leave headroom)."""
     for tb in (16, 8, 4, 2, 1):
-        if b % tb == 0:
+        if b % tb == 0 and (row_bytes == 0 or tb * row_bytes <= budget or tb == 1):
             return tb
     return 1
+
+
+def _fwd_row_bytes(s: int, c: int, num_heads: int, itemsize: int) -> int:
+    # qkv tile + out + one head's f32 logits/probs
+    return s * (4 * c * itemsize) + 2 * s * s * 4
+
+
+def _bwd_row_bytes(s: int, c: int, num_heads: int, itemsize: int) -> int:
+    # qkv + g + dqkv tiles + ~3 f32 (S,S) buffers + f32 dq/dk/dv slices
+    hd = c // num_heads
+    return s * (7 * c * itemsize + 3 * hd * 4) + 3 * s * s * 4
 
 
 def _mhsa_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int, scale: float):
@@ -63,7 +77,7 @@ def _mhsa_forward(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
                   scale: float, interpret: bool) -> jnp.ndarray:
     b, s, c3 = qkv.shape
     c = c3 // 3
-    tb = _pick_block_b(b)
+    tb = _pick_block_b(b, _fwd_row_bytes(s, c, num_heads, qkv.dtype.itemsize))
     kernel = functools.partial(_mhsa_kernel, num_heads=num_heads, scale=scale)
     return pl.pallas_call(
         kernel,
@@ -154,6 +168,87 @@ def _mhsa_packed_forward(qkv, bias, num_heads, scale, interpret):
     return out.reshape(b, s, c3 // 3)
 
 
+def _mhsa_bwd_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
+                     num_heads: int, scale: float):
+    """Flash-style backward: recompute probs in VMEM, emit dqkv; dbias is
+    accumulated across the batch grid (constant output index map)."""
+    tb, s, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // num_heads
+    qkv = qkv_ref[:]
+    bias = bias_ref[:]
+    g = g_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        gh = g[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        logits = logits * scale + bias[h][None].astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)          # (TB, S, S) f32
+
+        dp = jax.lax.dot_general(
+            gh, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (TB, S, S)
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(dl, axis=0).astype(dbias_ref.dtype)
+        dq = jax.lax.dot_general(
+            dl, k.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            dl, q.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(
+            p, gh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _mhsa_backward_pallas(qkv, bias, g, num_heads, scale, interpret):
+    b, s, c3 = qkv.shape
+    tb = _pick_block_b(b, _bwd_row_bytes(s, c3 // 3, num_heads,
+                                         qkv.dtype.itemsize))
+    kernel = functools.partial(_mhsa_bwd_kernel, num_heads=num_heads,
+                               scale=scale)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, s, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, s, c3 // 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, s, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                   jax.ShapeDtypeStruct(bias.shape, bias.dtype)],
+        interpret=interpret,
+    )(qkv, bias, g)
+    return dqkv, dbias
+
+
 def _fwd(qkv, bias, num_heads, scale, interpret):
     return (_mhsa_packed_forward(qkv, bias, num_heads, scale, interpret),
             (qkv, bias))
@@ -161,29 +256,22 @@ def _fwd(qkv, bias, num_heads, scale, interpret):
 
 def _bwd(num_heads, scale, interpret, res, g):
     qkv, bias = res
-    q, k, v = _split_heads(qkv, num_heads)
     b, s, c3 = qkv.shape
-    c = c3 // 3
-    hd = c // num_heads
-    g = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)  # (B,H,S,hd)
-
-    logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + bias[None].astype(jnp.float32)
-    p = jax.nn.softmax(logits, axis=-1)                        # (B,H,S,T)
-
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dp = jnp.einsum("bhsd,bhtd->bhst", gf, vf)
-    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dbias = jnp.sum(dlogits, axis=0).astype(bias.dtype)
-    dq = jnp.einsum("bhst,bhtd->bhsd", dlogits, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhst,bhsd->bhtd", dlogits, q.astype(jnp.float32)) * scale
-    dv = jnp.einsum("bhst,bhsd->bhtd", p, gf)
-
-    dqkv = jnp.stack([dq, dk, dv], axis=0)                     # (3,B,H,S,hd)
-    dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, c3).astype(qkv.dtype)
-    return dqkv, dbias
+    p = _pack_factor(b, s)
+    qkvp = qkv.reshape(b // p, p * s, c3)
+    gp = g.reshape(b // p, p * s, c3 // 3)
+    biasp = _block_diag_bias(bias, p) if p > 1 else bias
+    dqkvp, dbiasp = _mhsa_backward_pallas(qkvp, biasp, gp, num_heads, scale,
+                                          interpret)
+    dqkv = dqkvp.reshape(b, s, c3)
+    if p > 1:
+        # the bias was tiled onto every diagonal block; its gradient is the
+        # sum over those blocks (off-diagonal -inf mask is constant)
+        dbias = sum(dbiasp[:, i * s:(i + 1) * s, i * s:(i + 1) * s]
+                    for i in range(p))
+    else:
+        dbias = dbiasp
+    return dqkv, dbias.astype(bias.dtype)
 
 
 fused_window_mhsa.defvjp(_fwd, _bwd)
