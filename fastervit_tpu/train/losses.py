@@ -43,6 +43,18 @@ def cross_entropy(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
 
+def jsd_cross_entropy(logits_splits, labels, smoothing: float = 0.1,
+                      alpha: float = 12.0):
+    """timm JsdCrossEntropy for AugMix-style aug-splits: clean-split CE +
+    alpha * Jensen-Shannon consistency across splits."""
+    loss = label_smoothing_cross_entropy(logits_splits[0], labels, smoothing)
+    probs = [jax.nn.softmax(l, axis=-1) for l in logits_splits]
+    logm = jnp.log(jnp.clip(sum(probs) / len(probs), 1e-7, 1.0))
+    kl = sum(jnp.sum(p * (jnp.log(jnp.clip(p, 1e-7)) - logm), -1).mean()
+             for p in probs) / len(probs)
+    return loss + alpha * kl
+
+
 def mesa_kd_loss(student_logits, teacher_logits, temperature: float = 3.0):
     """MESA sharpness-aware KD vs the EMA teacher: 50 * KL(softmax(t/T) ||
     softmax(s/T)) batchmean (reference train.py:356-361)."""

@@ -163,6 +163,58 @@ def poly_schedule(base_lr: float, t_initial: int, power: float = 0.5,
     return fn
 
 
+class PlateauScheduler:
+    """Reduce-on-plateau (timm PlateauLRScheduler semantics, reference
+    scheduler/plateau_lr.py): stateful host-side controller — call
+    step(epoch, metric) each epoch and use .lr. Not a pure step->lr fn
+    because it depends on the metric stream."""
+
+    def __init__(self, base_lr: float, decay_rate: float = 0.1,
+                 patience_t: int = 10, lr_min: float = 0.0,
+                 mode: str = "max", threshold: float = 1e-4,
+                 cooldown_t: int = 0, warmup_t: int = 0,
+                 warmup_lr_init: float = 0.0):
+        self.lr = base_lr if warmup_t == 0 else warmup_lr_init
+        self.base_lr = base_lr
+        self.decay_rate = decay_rate
+        self.patience_t = patience_t
+        self.lr_min = lr_min
+        self.mode = mode
+        self.threshold = threshold
+        self.cooldown_t = cooldown_t
+        self.warmup_t = warmup_t
+        self.warmup_lr_init = warmup_lr_init
+        self._best = None
+        self._bad_epochs = 0
+        self._cooldown = 0
+
+    def _improved(self, metric):
+        if self._best is None:
+            return True
+        if self.mode == "max":
+            return metric > self._best + self.threshold
+        return metric < self._best - self.threshold
+
+    def step(self, epoch: int, metric: float) -> float:
+        if epoch < self.warmup_t:
+            frac = (epoch + 1) / max(1, self.warmup_t)
+            self.lr = self.warmup_lr_init + frac * (self.base_lr
+                                                    - self.warmup_lr_init)
+            return self.lr
+        if self._improved(metric):
+            self._best = metric
+            self._bad_epochs = 0
+        elif self._cooldown > 0:
+            self._cooldown -= 1
+        else:
+            self._bad_epochs += 1
+            if self._bad_epochs > self.patience_t:
+                self.lr = max(self.lr * self.decay_rate, self.lr_min)
+                self._bad_epochs = 0
+                self._cooldown = self.cooldown_t
+        return self.lr
+
+
 @dataclasses.dataclass(frozen=True)
 class ScheduleConfig:
     """Mirror of the reference's scheduler flags (train.py:255-286, 330-335)."""

@@ -170,6 +170,14 @@ def train(args) -> dict:
     repl, bsh = replicated(mesh), batch_sharding(mesh)
     train_step = jax.jit(make_train_step(model.module, tx, tcfg, schedule_fn),
                          in_shardings=(repl, bsh, repl), donate_argnums=(0,))
+    # mixup disabled for the final epochs (reference --mixup-off-epoch,
+    # train.py:825-829): a second jitted step without mixup
+    train_step_nomix = None
+    if args.mixup_off_epoch and mixup is not None:
+        tcfg_off = dataclasses.replace(tcfg, mixup=None)
+        train_step_nomix = jax.jit(
+            make_train_step(model.module, tx, tcfg_off, schedule_fn),
+            in_shardings=(repl, bsh, repl), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model.module), in_shardings=(repl, bsh))
     tb = TensorboardLogger(os.path.join(args.output, "tb")
                            if args.tensorboard else None)
@@ -194,12 +202,18 @@ def train(args) -> dict:
     with mesh:
         state = jax.device_put(state, repl)
         for epoch in range(num_epochs):
+            step_fn = train_step
+            if (train_step_nomix is not None
+                    and epoch >= num_epochs - args.mixup_off_epoch):
+                step_fn = train_step_nomix
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             loss_m, rate_m = AverageMeter(), AverageMeter()
             t_end = time.perf_counter()
             for i, batch in enumerate(train_loader):
                 b = {k: jax.device_put(jnp.asarray(v), bsh)
                      for k, v in batch.items() if k != "valid"}
-                state, metrics = train_step(state, b, rng)
+                state, metrics = step_fn(state, b, rng)
                 if i % args.log_interval == 0:
                     metrics = jax.tree.map(lambda x: x.item(), metrics)
                     if not np.isfinite(metrics["loss"]):

@@ -135,3 +135,32 @@ def test_mixup_cutmix_targets_sum_to_one():
         assert xm.shape == x.shape
         np.testing.assert_allclose(np.asarray(tm.sum(-1)), 1.0, atol=1e-5)
         assert np.asarray(tm).min() >= 0.0
+
+
+def test_plateau_scheduler():
+    from fastervit_tpu.train.schedule import PlateauScheduler
+    s = PlateauScheduler(0.1, decay_rate=0.5, patience_t=1, warmup_t=2,
+                         warmup_lr_init=0.01)
+    assert abs(s.step(0, 0.0) - 0.055) < 1e-9   # warmup midpoint
+    assert abs(s.step(1, 0.0) - 0.1) < 1e-9
+    s.step(2, 1.0)              # best
+    s.step(3, 1.0)              # bad 1 (<= patience)
+    assert s.lr == 0.1
+    s.step(4, 1.0)              # bad 2 -> decay
+    assert abs(s.lr - 0.05) < 1e-9
+    s.step(5, 2.0)              # improvement resets
+    assert abs(s.lr - 0.05) < 1e-9
+
+
+def test_jsd_loss_zero_consistency_when_identical():
+    from fastervit_tpu.train.losses import (jsd_cross_entropy,
+                                            label_smoothing_cross_entropy)
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 10), jnp.float32)
+    labels = jnp.asarray([1, 2, 3, 4])
+    jsd = jsd_cross_entropy([logits, logits, logits], labels)
+    ce = label_smoothing_cross_entropy(logits, labels)
+    np.testing.assert_allclose(float(jsd), float(ce), rtol=1e-5)
+    # diverging splits cost more
+    other = jnp.asarray(rng.randn(4, 10) * 3, jnp.float32)
+    assert float(jsd_cross_entropy([logits, other, logits], labels)) > float(ce)
