@@ -1,0 +1,156 @@
+"""Detection training engine (reference dino/engine.py:20-120 train_one_epoch
+/ evaluate, re-designed for jit).
+
+The DETR criterion needs an exact Hungarian assignment (scipy, host-side),
+which cannot live inside jit. The TPU-native structure is two-phase:
+
+  1. jitted forward produces per-layer logits/boxes and the matching cost
+     matrices (stop-gradient);
+  2. the tiny LPs solve on host;
+  3. a jitted loss+grad step consumes the assignments as index arrays.
+
+Targets are padded to a static `max_targets` per image so every step
+compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fastervit_tpu.detection.dino import sigmoid_focal_loss
+from fastervit_tpu.ops.boxes import (box_cxcywh_to_xyxy, generalized_box_iou,
+                                     hungarian_cost_matrix, hungarian_match)
+
+
+def pad_targets(targets: List[Dict], max_targets: int) -> Dict[str, np.ndarray]:
+    """Per-image dicts -> fixed-size arrays with a validity mask."""
+    b = len(targets)
+    labels = np.zeros((b, max_targets), np.int32)
+    boxes = np.zeros((b, max_targets, 4), np.float32)
+    mask = np.zeros((b, max_targets), bool)
+    for i, t in enumerate(targets):
+        n = min(len(t["labels"]), max_targets)
+        labels[i, :n] = np.asarray(t["labels"])[:n]
+        boxes[i, :n] = np.asarray(t["boxes"])[:n]
+        mask[i, :n] = True
+    return {"labels": labels, "boxes": boxes, "mask": mask}
+
+
+def make_cost_fn(num_layers: int):
+    @jax.jit
+    def cost_fn(outputs, tgt):
+        costs = []
+        for li in range(num_layers):
+            layer = []
+            for bi in range(tgt["labels"].shape[0]):
+                c = hungarian_cost_matrix(outputs["logits"][li][bi],
+                                          outputs["boxes"][li][bi],
+                                          tgt["labels"][bi], tgt["boxes"][bi])
+                # invalid targets get prohibitive cost so they never match
+                c = jnp.where(tgt["mask"][bi][None, :], c, 1e6)
+                layer.append(c)
+            costs.append(jnp.stack(layer))
+        return jnp.stack(costs)      # (L, B, Q, T)
+    return cost_fn
+
+
+def solve_assignments(costs: np.ndarray, tgt_mask: np.ndarray) -> np.ndarray:
+    """(L, B, Q, T) costs -> (L, B, T) query index per target (-1 invalid)."""
+    l, b, q, t = costs.shape
+    out = np.full((l, b, t), -1, np.int32)
+    for li in range(l):
+        for bi in range(b):
+            n = int(tgt_mask[bi].sum())
+            if n == 0:
+                continue
+            rows, cols = hungarian_match(costs[li, bi][:, :n])
+            for r, c in zip(rows, cols):
+                out[li, bi, c] = r
+    return out
+
+
+def detection_loss(outputs, tgt, assignment, num_classes: int,
+                   weight_class: float = 1.0, weight_bbox: float = 5.0,
+                   weight_giou: float = 2.0):
+    """Jit-friendly criterion given assignments (L, B, T)."""
+    num_layers = len(outputs["logits"])
+    num_boxes = jnp.maximum(tgt["mask"].sum(), 1)
+    total_ce = 0.0
+    total_bbox = 0.0
+    total_giou = 0.0
+    for li in range(num_layers):
+        logits = outputs["logits"][li]          # (B, Q, K)
+        boxes = outputs["boxes"][li]
+        b, q, k = logits.shape
+        idx = jnp.clip(assignment[li], 0, q - 1)          # (B, T)
+        valid = (assignment[li] >= 0) & tgt["mask"]
+        onehot = jnp.zeros((b, q, k))
+        scat = jax.nn.one_hot(tgt["labels"], k) * valid[..., None]
+        onehot = jnp.zeros((b, q, k)).at[
+            jnp.arange(b)[:, None], idx].add(scat)
+        total_ce += sigmoid_focal_loss(logits, onehot).sum() / num_boxes
+        pb = jnp.take_along_axis(boxes, idx[..., None], axis=1)  # (B, T, 4)
+        l1 = jnp.abs(pb - tgt["boxes"]).sum(-1)
+        total_bbox += jnp.where(valid, l1, 0.0).sum() / num_boxes
+        giou = jax.vmap(lambda a, c: jnp.diagonal(
+            generalized_box_iou(box_cxcywh_to_xyxy(a),
+                                box_cxcywh_to_xyxy(c))))(pb, tgt["boxes"])
+        total_giou += jnp.where(valid, 1 - giou, 0.0).sum() / num_boxes
+    loss = (weight_class * total_ce + weight_bbox * total_bbox
+            + weight_giou * total_giou)
+    return loss, {"loss_ce": total_ce, "loss_bbox": total_bbox,
+                  "loss_giou": total_giou}
+
+
+def make_detection_train_step(detector, tx):
+    """The jitted phase-3 step. BatchNorm runs on frozen (eval) statistics —
+    the standard frozen-BN detection-backbone setup (reference uses
+    FrozenBatchNorm2d, dino/models/dino/backbone.py:36)."""
+
+    def train_step(params, batch_stats, opt_state, batch_images, tgt,
+                   assignment):
+        def loss_fn(p):
+            out = detector.apply({"params": p, "batch_stats": batch_stats},
+                                 batch_images, training=False)
+            loss, parts = detection_loss(out, tgt, assignment,
+                                         detector.num_classes)
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, **parts}
+
+    return jax.jit(train_step)
+
+
+def train_detection_epoch(detector, variables, opt_state, tx, loader,
+                          max_targets: int = 20):
+    """One epoch over (images, targets) batches (reference engine.py:20-120).
+    variables = {'params', 'batch_stats'}; returns updated variables."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    fwd = jax.jit(lambda p, x: detector.apply(
+        {"params": p, "batch_stats": batch_stats}, x, training=False))
+    step = make_detection_train_step(detector, tx)
+    cost_fn = None
+    losses = []
+    for images, targets in loader:
+        images = jnp.asarray(images)
+        tgt = jax.tree.map(jnp.asarray, pad_targets(targets, max_targets))
+        out = fwd(params, images)
+        if cost_fn is None:
+            cost_fn = make_cost_fn(len(out["logits"]))
+        costs = np.asarray(cost_fn(jax.lax.stop_gradient(out), tgt))
+        assignment = jnp.asarray(solve_assignments(costs,
+                                                   np.asarray(tgt["mask"])))
+        params, opt_state, metrics = step(params, batch_stats, opt_state,
+                                          images, tgt, assignment)
+        losses.append(float(metrics["loss"]))
+    return ({"params": params, "batch_stats": batch_stats}, opt_state,
+            {"loss": float(np.mean(losses))})

@@ -79,3 +79,29 @@ def test_coco_eval_perfect_and_half():
     gt1 = [{"boxes": np.array([[0, 0, 10, 10]]), "labels": np.array([1])}]
     res3 = evaluate_detections(shifted, gt1)
     assert res3["AP50"] > 0.9 and res3["AP75"] == 0.0
+
+
+def test_detection_training_learns(cpu_devices):
+    """End-to-end detection training on one synthetic batch: the two-phase
+    (device cost -> host Hungarian -> device grad) loop must reduce loss."""
+    import optax
+    from fastervit_tpu.detection.engine import train_detection_epoch
+    det = _tiny_detector()
+    x = np.random.RandomState(0).randn(2, 128, 128, 3).astype(np.float32)
+    variables = det.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = dict(variables)
+    targets = [
+        {"labels": np.array([1]), "boxes": np.array([[0.3, 0.3, 0.2, 0.2]])},
+        {"labels": np.array([2, 3]),
+         "boxes": np.array([[0.6, 0.6, 0.2, 0.3], [0.2, 0.7, 0.1, 0.1]])},
+    ]
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(variables["params"])
+    loader = [(x, targets)] * 2
+    losses = []
+    for _ in range(3):
+        variables, opt_state, m = train_detection_epoch(
+            det, variables, opt_state, tx, loader, max_targets=4)
+        losses.append(m["loss"])
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
