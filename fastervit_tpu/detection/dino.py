@@ -37,7 +37,7 @@ class DINODetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images, training: bool = False):
+    def __call__(self, images, training: bool = False, dn=None):
         feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
                                  name="backbone")(images, training=training)
         keys = sorted(feats)  # res2..res5
@@ -58,8 +58,100 @@ class DINODetector(nn.Module):
             num_classes=self.num_classes, enc_layers=self.enc_layers,
             dec_layers=self.dec_layers, dtype=self.dtype,
             name="transformer")(src, tuple(shapes),
-                                deterministic=not training)
+                                deterministic=not training,
+                                dn_labels=dn["labels"] if dn else None,
+                                dn_boxes=dn["boxes"] if dn else None,
+                                dn_attn_mask=dn["attn_mask"] if dn else None)
         return out
+
+
+# ------------- contrastive denoising (DINO CDN, dn_components) -----------------
+
+def prepare_cdn(rng, tgt_padded: Dict, num_classes: int, num_queries: int,
+                dn_groups: int = 5, label_noise_ratio: float = 0.5,
+                box_noise_scale: float = 1.0):
+    """Build denoising queries from padded gt (engine.pad_targets format).
+
+    Each group carries one positive (small box noise, regress to gt) and one
+    negative (larger noise, predict background) query per gt slot. Returns
+    (dn_inputs for the detector, dn_meta for cdn_loss): jit-friendly, all
+    shapes static in (B, T, groups).
+    """
+    labels, boxes, mask = (jnp.asarray(tgt_padded["labels"]),
+                           jnp.asarray(tgt_padded["boxes"]),
+                           jnp.asarray(tgt_padded["mask"]))
+    b, t = labels.shape
+    g = dn_groups
+    r_lbl, r_flip, r_shift, r_neg = jax.random.split(rng, 4)
+
+    # (B, G, 2, T): group-major, positive part then negative part
+    lbl = jnp.tile(labels[:, None, None, :], (1, g, 2, 1))
+    flip = jax.random.uniform(r_flip, lbl.shape) < (label_noise_ratio * 0.5)
+    rand_lbl = jax.random.randint(r_lbl, lbl.shape, 0, num_classes)
+    lbl = jnp.where(flip, rand_lbl, lbl)
+    # invalid slots get the 'no object' embedding index
+    lbl = jnp.where(mask[:, None, None, :], lbl, num_classes)
+
+    bx = jnp.tile(boxes[:, None, None, :, :], (1, g, 2, 1, 1))
+    wh = jnp.concatenate([bx[..., 2:] / 2, bx[..., 2:] / 2], -1)
+    shift = jax.random.uniform(r_shift, bx.shape, minval=-1.0, maxval=1.0)
+    neg_extra = jnp.sign(shift) * jax.random.uniform(r_neg, bx.shape,
+                                                     minval=1.0, maxval=2.0)
+    pos_noise = shift * wh * box_noise_scale
+    neg_noise = neg_extra * wh * box_noise_scale
+    noise = jnp.stack([pos_noise[:, :, 0], neg_noise[:, :, 1]], axis=2)
+    bx = jnp.clip(bx + noise, 1e-3, 1 - 1e-3)
+
+    n_dn = g * 2 * t
+    dn = {"labels": lbl.reshape(b, n_dn),
+          "boxes": bx.reshape(b, n_dn, 4)}
+
+    # allow-mask: dn groups see only themselves; matching queries see only
+    # matching queries; everyone is blind to other groups
+    q_total = n_dn + num_queries
+    allow = np.zeros((q_total, q_total), bool)
+    allow[n_dn:, n_dn:] = True
+    gsz = 2 * t
+    for gi in range(g):
+        s0 = gi * gsz
+        allow[s0:s0 + gsz, s0:s0 + gsz] = True
+    dn["attn_mask"] = jnp.asarray(allow)
+    meta = {"n_dn": n_dn, "groups": g, "t": t}
+    return dn, meta
+
+
+def cdn_loss(outputs: Dict, tgt_padded: Dict, meta: Dict, num_classes: int,
+             weight_bbox: float = 5.0, weight_giou: float = 2.0):
+    """Denoising loss with KNOWN assignment: positive dn slot (g, 0, k) ↔ gt
+    slot k; negatives and padded slots are background."""
+    labels, boxes, mask = (jnp.asarray(tgt_padded["labels"]),
+                           jnp.asarray(tgt_padded["boxes"]),
+                           jnp.asarray(tgt_padded["mask"]))
+    b, t = labels.shape
+    g, n_dn = meta["groups"], meta["n_dn"]
+    num_boxes = jnp.maximum(mask.sum(), 1) * g
+    total = {"loss_ce_dn": 0.0, "loss_bbox_dn": 0.0, "loss_giou_dn": 0.0}
+    for li in range(len(outputs["logits"])):
+        logits = outputs["logits"][li][:, :n_dn].reshape(b, g, 2, t, -1)
+        pred = outputs["boxes"][li][:, :n_dn].reshape(b, g, 2, t, 4)
+        pos_t = (jax.nn.one_hot(labels, num_classes)
+                 * mask[..., None])[:, None, :, :]             # (B,1,T,K)
+        onehot = jnp.stack([jnp.tile(pos_t, (1, g, 1, 1)),
+                            jnp.zeros((b, g, t, num_classes))], axis=2)
+        total["loss_ce_dn"] += sigmoid_focal_loss(
+            logits, onehot).sum() / num_boxes
+        pb = pred[:, :, 0]                                     # positives
+        l1 = jnp.abs(pb - boxes[:, None]).sum(-1)
+        total["loss_bbox_dn"] += jnp.where(mask[:, None], l1, 0.0).sum() / num_boxes
+        giou = jax.vmap(jax.vmap(lambda a, c: jnp.diagonal(
+            generalized_box_iou(box_cxcywh_to_xyxy(a),
+                                box_cxcywh_to_xyxy(c)))))(
+            pb, jnp.tile(boxes[:, None], (1, g, 1, 1)))
+        total["loss_giou_dn"] += jnp.where(mask[:, None], 1 - giou,
+                                           0.0).sum() / num_boxes
+    total["loss_dn"] = (total["loss_ce_dn"] + weight_bbox * total["loss_bbox_dn"]
+                        + weight_giou * total["loss_giou_dn"])
+    return total
 
 
 # ---------------- losses (SetCriterion, dino.py:344) ---------------------------

@@ -103,11 +103,13 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, query_pos, ref_boxes, memory, spatial_shapes,
-                 padding_mask=None, deterministic=True):
+                 padding_mask=None, deterministic=True, self_attn_mask=None):
         q = tgt + query_pos
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype, name="self_attn")(
-            q, q, tgt)
+            q, q, tgt,
+            mask=self_attn_mask[None, None] if self_attn_mask is not None
+            else None)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + sa)
         # cross-attention samples around the current boxes (4d refs)
         ref = ref_boxes[:, :, None, :].repeat(self.n_levels, 2)  # (B,Q,L,4)
@@ -150,9 +152,17 @@ class DeformableTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, srcs, spatial_shapes, padding_mask=None,
-                 deterministic=True):
+                 deterministic=True, dn_labels=None, dn_boxes=None,
+                 dn_attn_mask=None):
         """srcs: (B, S, C) flattened multi-scale features; returns dict with
-        per-layer decoder logits/boxes + encoder proposals."""
+        per-layer decoder logits/boxes + encoder proposals.
+
+        Contrastive-denoising inputs (DINO CDN, reference
+        dino/models/dino/dn_components semantics): dn_labels (B, N_dn) noised
+        class ids embedded via label_enc, dn_boxes (B, N_dn, 4) noised gt
+        anchors, dn_attn_mask (Q_total, Q_total) boolean allow-mask keeping
+        dn groups and matching queries mutually blind. dn queries occupy the
+        FIRST N_dn decoder slots of every output layer."""
         b, s, c = srcs.shape
         n_levels = len(spatial_shapes)
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
@@ -197,6 +207,13 @@ class DeformableTransformer(nn.Module):
                          (self.num_queries, self.dim))[None, :k]
         tgt = jnp.tile(tgt, (b, 1, 1)).astype(self.dtype)
 
+        if dn_labels is not None:
+            dn_tgt = nn.Embed(self.num_classes + 1, self.dim,
+                              dtype=self.dtype, name="label_enc")(dn_labels)
+            tgt = jnp.concatenate([dn_tgt, tgt], axis=1)
+            ref_boxes = jnp.concatenate(
+                [jnp.asarray(dn_boxes, ref_boxes.dtype), ref_boxes], axis=1)
+
         # --- decoder with iterative refinement ------------------------------
         outputs = {"enc_logits": enc_logits, "enc_boxes": enc_boxes,
                    "logits": [], "boxes": []}
@@ -209,7 +226,7 @@ class DeformableTransformer(nn.Module):
                                n_levels, self.ffn_dim, self.dropout,
                                self.dtype, name=f"decoder_{i}")(
                 tgt, qp, ref_boxes, memory, spatial_shapes, padding_mask,
-                deterministic)
+                deterministic, self_attn_mask=dn_attn_mask)
             delta = MLPHead(self.dim, 4, dtype=self.dtype,
                             name=f"bbox_head_{i}")(tgt)
             new_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))

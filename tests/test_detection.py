@@ -105,3 +105,55 @@ def test_detection_training_learns(cpu_devices):
         losses.append(m["loss"])
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_cdn_denoising_forward_and_loss():
+    """CDN: dn queries occupy the first slots, attention mask keeps groups
+    blind, loss is finite and near-zero box loss for unnoised positives."""
+    import jax
+    from fastervit_tpu.detection.dino import cdn_loss, prepare_cdn
+    from fastervit_tpu.detection.engine import pad_targets
+
+    det = _tiny_detector()
+    x = jnp.zeros((2, 128, 128, 3))
+    targets = [
+        {"labels": np.array([1]), "boxes": np.array([[0.3, 0.3, 0.2, 0.2]])},
+        {"labels": np.array([2, 3]),
+         "boxes": np.array([[0.6, 0.6, 0.2, 0.3], [0.2, 0.7, 0.1, 0.1]])},
+    ]
+    tgt = pad_targets(targets, max_targets=3)
+    dn, meta = prepare_cdn(jax.random.PRNGKey(0), tgt, num_classes=7,
+                           num_queries=20, dn_groups=2)
+    assert dn["labels"].shape == (2, 12) and dn["boxes"].shape == (2, 12, 4)
+    assert dn["attn_mask"].shape == (32, 32)
+    # matching queries must not attend dn slots and vice versa
+    assert not np.asarray(dn["attn_mask"])[12:, :12].any()
+    assert not np.asarray(dn["attn_mask"])[:12, 12:].any()
+    # group 0 cannot see group 1
+    assert not np.asarray(dn["attn_mask"])[:6, 6:12].any()
+
+    v = det.init(jax.random.PRNGKey(0), x, dn=dn)
+    out = det.apply(v, x, dn=dn)
+    assert out["logits"][-1].shape == (2, 32, 7)
+    losses = cdn_loss(out, tgt, meta, num_classes=7)
+    assert np.isfinite(float(losses["loss_dn"]))
+
+    # without dn the same params run the plain path (label_enc unused is ok)
+    out2 = det.apply(v, x)
+    assert out2["logits"][-1].shape == (2, 20, 7)
+
+
+def test_cdn_loss_zero_box_for_exact_positives():
+    from fastervit_tpu.detection.dino import cdn_loss
+    from fastervit_tpu.detection.engine import pad_targets
+    targets = [{"labels": np.array([1]),
+                "boxes": np.array([[0.5, 0.5, 0.2, 0.2]])}]
+    tgt = pad_targets(targets, max_targets=1)
+    meta = {"n_dn": 2, "groups": 1, "t": 1}
+    boxes = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0.9, 0.9, 0.05, 0.05]]])
+    logits = jnp.full((1, 2, 4), -8.0).at[0, 0, 1].set(8.0)
+    losses = cdn_loss({"logits": [logits], "boxes": [boxes]}, tgt, meta,
+                      num_classes=4)
+    assert float(losses["loss_bbox_dn"]) < 1e-6
+    assert float(losses["loss_giou_dn"]) < 1e-5
+    assert float(losses["loss_ce_dn"]) < 1e-2
