@@ -216,7 +216,7 @@ class DeformableTransformer(nn.Module):
 
         # --- decoder with iterative refinement ------------------------------
         outputs = {"enc_logits": enc_logits, "enc_boxes": enc_boxes,
-                   "logits": [], "boxes": []}
+                   "logits": [], "boxes": [], "hidden": []}
         ref_point_head = MLPHead(self.dim, self.dim, layers=2,
                                  dtype=self.dtype, name="ref_point_head")
         for i in range(self.dec_layers):
@@ -234,5 +234,6 @@ class DeformableTransformer(nn.Module):
                               name=f"class_head_{i}")(tgt)
             outputs["logits"].append(logits)
             outputs["boxes"].append(new_boxes)
+            outputs["hidden"].append(tgt)
             ref_boxes = jax.lax.stop_gradient(new_boxes)
         return outputs

@@ -93,13 +93,9 @@ class MOTRDetector(nn.Module):
                                 deterministic=not training)
         logits = out["logits"][-1]
         boxes = out["boxes"][-1]
-        # decoder output embedding for QIM: use the last layer's box/class
-        # head input is not exposed; re-embed from boxes+logits is lossy, so
-        # the transformer's query count carries both roles and QIM consumes
-        # the per-query logits' pre-head features approximated by a Dense of
-        # [logits, boxes]. (Round-2: thread the decoder hidden states out.)
-        hidden = nn.Dense(self.dim, dtype=self.dtype, name="qim_in")(
-            jnp.concatenate([logits, boxes], axis=-1))
+        # QIM consumes the decoder's last-layer hidden states (the reference's
+        # track query embedding update, qim.py:59-64)
+        hidden = out["hidden"][-1]
         refreshed = QueryInteractionModule(self.dim, dtype=self.dtype,
                                            name="qim")(
             hidden, jnp.zeros_like(hidden), deterministic=not training)
