@@ -55,3 +55,21 @@ def test_any_res_output_shapes(name):
     logits = jax.eval_shape(
         lambda v: m.module.apply(v, m.dummy_input()), out)
     assert logits.shape == (1, 1000)
+
+
+def test_bfloat16_numerics_close_to_fp32():
+    """bf16 compute path (the deployment/bench configuration) must stay close
+    to fp32 logits — guards against accidental fp32-only assumptions."""
+    import jax.numpy as jnp
+    m32 = create_model("faster_vit_0_224", depths=[1, 1, 1, 1],
+                       num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                       resolution=64, num_classes=10)
+    m16 = type(m32)(module=type(m32.module)(cfg=m32.cfg, dtype=jnp.bfloat16),
+                    cfg=m32.cfg)
+    v = m32.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    a = np.asarray(m32.apply(v, x), np.float32)
+    b = np.asarray(m16.apply(v, x.astype(jnp.bfloat16)), np.float32)
+    # bf16 has ~3 decimal digits; logits are O(1)
+    assert np.abs(a - b).max() < 0.15
+    assert (np.argmax(a, -1) == np.argmax(b, -1)).mean() >= 0.5
