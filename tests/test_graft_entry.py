@@ -1,0 +1,42 @@
+"""Driver entrypoints: entry() structure and dryrun_multichip on a CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_entry_returns_jittable_forward():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 1000)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_dryrun_multichip_four_devices(cpu_devices):
+    import __graft_entry__ as g
+    g.dryrun_multichip(4)
+
+
+def test_train_cli_with_yaml_config(tmp_path):
+    """The reference-recipe YAML path end-to-end (tiny synthetic run)."""
+    import fastervit_tpu.train.train as T
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model: faster_vit_0_224\nbatch_size: 8\nepochs: 1\n"
+        "warmup_epochs: 0\ncooldown_epochs: 0\ndata_len: 16\n"
+        "num_classes: 8\nsynthetic: true\nmesa: 0.1\nmesa_start_ratio: 0.0\n"
+        "mixup_off_epoch: 1\n")
+    old = T.create_model
+
+    def tiny_create(name, **kw):
+        kw.update(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32,
+                  in_dim=16, resolution=64)
+        return old(name, **kw)
+
+    T.create_model = tiny_create
+    try:
+        res = T.main(["--config", str(cfg), "--output", str(tmp_path / "out"),
+                      "--log-interval", "1"])
+        assert np.isfinite(res["best_top1"])
+    finally:
+        T.create_model = old

@@ -93,3 +93,17 @@ def test_parity_features():
 def test_parity_faster_vit_2_224():
     diff = _compare("faster_vit_2_224", {}, {}, (224, 224), batch=1)
     print("max |diff| fv2:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_1_224():
+    diff = _compare("faster_vit_1_224", {}, {}, (224, 224), batch=1)
+    print("max |diff| fv1:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_3_224():
+    """Exercises layer_scale + propagation at full production scale."""
+    diff = _compare("faster_vit_3_224", {}, {}, (224, 224), batch=1,
+                    atol=5e-4)
+    print("max |diff| fv3:", diff)
