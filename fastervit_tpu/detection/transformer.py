@@ -153,7 +153,7 @@ class DeformableTransformer(nn.Module):
     @nn.compact
     def __call__(self, srcs, spatial_shapes, padding_mask=None,
                  deterministic=True, dn_labels=None, dn_boxes=None,
-                 dn_attn_mask=None):
+                 dn_attn_mask=None, track_tgt=None, track_boxes=None):
         """srcs: (B, S, C) flattened multi-scale features; returns dict with
         per-layer decoder logits/boxes + encoder proposals.
 
@@ -207,6 +207,12 @@ class DeformableTransformer(nn.Module):
                          (self.num_queries, self.dim))[None, :k]
         tgt = jnp.tile(tgt, (b, 1, 1)).astype(self.dtype)
 
+        if track_tgt is not None:
+            # MOTR track queries join in front of the detect queries
+            # (reference motr.py _forward_single_image: track ++ detect)
+            tgt = jnp.concatenate([jnp.asarray(track_tgt, tgt.dtype), tgt], 1)
+            ref_boxes = jnp.concatenate(
+                [jnp.asarray(track_boxes, ref_boxes.dtype), ref_boxes], 1)
         if dn_labels is not None:
             dn_tgt = nn.Embed(self.num_classes + 1, self.dim,
                               dtype=self.dtype, name="label_enc")(dn_labels)

@@ -83,14 +83,23 @@ class MOTRDetector(nn.Module):
             srcs.append(x.reshape(b, h * w, self.dim))
         src = jnp.concatenate(srcs, axis=1)
 
-        # transformer provides encoder + two-stage proposals for the detect
-        # queries; track queries override the first T slots
+        # track queries occupy the first num_track_queries decoder slots
+        # (reference motr.py: track ++ detect query concat); empty slots are
+        # zero embeddings with centered anchors
+        t = self.num_track_queries
+        if track_embed is None:
+            track_embed = jnp.zeros((b, t, self.dim), self.dtype)
+        if track_boxes is None:
+            track_boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.1, 0.1]),
+                                   (b, t, 1))
         out = DeformableTransformer(
-            dim=self.dim, num_queries=self.num_detect_queries + self.num_track_queries,
+            dim=self.dim, num_queries=self.num_detect_queries,
             num_classes=self.num_classes, enc_layers=self.enc_layers,
             dec_layers=self.dec_layers, dtype=self.dtype,
             name="transformer")(src, tuple(shapes),
-                                deterministic=not training)
+                                deterministic=not training,
+                                track_tgt=track_embed,
+                                track_boxes=track_boxes)
         logits = out["logits"][-1]
         boxes = out["boxes"][-1]
         # QIM consumes the decoder's last-layer hidden states (the reference's
@@ -105,55 +114,78 @@ class MOTRDetector(nn.Module):
 
 @dataclasses.dataclass
 class MOTRTrackState:
-    """Per-sequence streaming state (host side)."""
-    ids: np.ndarray            # (T,) slot identity or -1 if empty
+    """Per-sequence streaming state (host side): slot-indexed over the
+    num_track_queries track slots, carrying the propagated query embeddings
+    and reference boxes (the 'track instances' of submit_dance.py)."""
+    ids: np.ndarray            # (T,) persistent identity or -1 if free
     scores: np.ndarray         # (T,)
     misses: np.ndarray         # (T,)
+    embeds: np.ndarray         # (T, dim) query embeddings fed to next frame
+    boxes: np.ndarray          # (T, 4) cxcywh reference boxes
     next_id: int = 0
 
 
 def motr_inference_sequence(apply_fn, variables, frames,
+                            num_track_slots: int, dim: int,
                             score_thresh: float = 0.7,
                             filter_thresh: float = 0.6,
-                            miss_tolerance: int = 5,
-                            num_queries: int = 120) -> List[Dict]:
+                            miss_tolerance: int = 5) -> List[Dict]:
     """Streaming inference (reference submit_dance.py Detector.detect +
-    motr.py:573-618 post-processing): per frame, keep queries above the
-    threshold as tracks, assign persistent ids, carry state.
+    motr.py:573-644): per frame, forward with the carried track queries,
+    update/kill/bear tracks by score thresholds, propagate QIM-refreshed
+    embeddings and predicted boxes to the next frame.
 
-    apply_fn(variables, image) -> {'logits', 'boxes'} per frame (the detector
-    above jitted by the caller). Returns per-frame active-track dicts.
+    apply_fn(variables, image, track_embed, track_boxes) -> the detector's
+    output dict; track slots are the FIRST num_track_slots queries.
     """
-    state = MOTRTrackState(ids=np.full(num_queries, -1),
-                           scores=np.zeros(num_queries),
-                           misses=np.zeros(num_queries, int))
+    t = num_track_slots
+    state = MOTRTrackState(
+        ids=np.full(t, -1), scores=np.zeros(t), misses=np.zeros(t, int),
+        embeds=np.zeros((t, dim), np.float32),
+        boxes=np.tile(np.asarray([0.5, 0.5, 0.1, 0.1], np.float32), (t, 1)))
     results = []
     for frame in frames:
-        out = apply_fn(variables, frame[None])
+        out = apply_fn(variables, frame[None], state.embeds[None],
+                       state.boxes[None])
         scores = np.asarray(jax.nn.sigmoid(out["logits"][0]).max(-1))
         boxes = np.asarray(out["boxes"][0])
-        n = min(num_queries, len(scores))
-        for qi in range(n):
-            if state.ids[qi] >= 0:
-                if scores[qi] >= filter_thresh:
-                    state.misses[qi] = 0
-                    state.scores[qi] = scores[qi]
-                else:
-                    state.misses[qi] += 1
-                    if state.misses[qi] >= miss_tolerance:
-                        state.ids[qi] = -1
-            elif scores[qi] >= score_thresh:
-                state.ids[qi] = state.next_id
-                state.next_id += 1
+        embeds = np.asarray(out["query_embed"][0], np.float32)
+
+        # existing tracks (slots 0..t)
+        for qi in range(t):
+            if state.ids[qi] < 0:
+                continue
+            if scores[qi] >= filter_thresh:
                 state.misses[qi] = 0
                 state.scores[qi] = scores[qi]
-        active = (state.ids >= 0)[:n] & (state.misses[:n] == 0) & \
-            (scores[:n] >= filter_thresh)
+                state.embeds[qi] = embeds[qi]
+                state.boxes[qi] = boxes[qi]
+            else:
+                state.misses[qi] += 1
+                if state.misses[qi] >= miss_tolerance:
+                    state.ids[qi] = -1
+                    state.embeds[qi] = 0.0
+                    state.boxes[qi] = (0.5, 0.5, 0.1, 0.1)
+        # births: detect slots above threshold move into free track slots
+        for qi in range(t, len(scores)):
+            if scores[qi] < score_thresh:
+                continue
+            free = np.where(state.ids < 0)[0]
+            if not len(free):
+                break
+            slot = free[0]
+            state.ids[slot] = state.next_id
+            state.next_id += 1
+            state.misses[slot] = 0
+            state.scores[slot] = scores[qi]
+            state.embeds[slot] = embeds[qi]
+            state.boxes[slot] = boxes[qi]
+        active = (state.ids >= 0) & (state.misses == 0)
         results.append({
-            "ids": state.ids[:n][active].copy(),
+            "ids": state.ids[active].copy(),
             "boxes": np.asarray(box_cxcywh_to_xyxy(jnp.asarray(
-                boxes[:n][active]))),
-            "scores": scores[:n][active].copy(),
+                state.boxes[active]))),
+            "scores": state.scores[active].copy(),
         })
     return results
 

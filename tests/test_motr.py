@@ -27,14 +27,25 @@ def test_motr_forward_and_streaming():
     assert out["boxes"].shape == (1, 16, 4)
     assert out["query_embed"].shape == (1, 16, 64)
 
-    apply_fn = jax.jit(lambda v, im: det.apply(v, im))
+    apply_fn = jax.jit(lambda v, im, te, tb: det.apply(v, im, track_embed=te,
+                                                       track_boxes=tb))
     frames = [np.zeros((128, 128, 3), np.float32)] * 3
-    res = motr_inference_sequence(apply_fn, v, frames, score_thresh=0.0,
-                                  filter_thresh=0.0, num_queries=16)
+    res = motr_inference_sequence(apply_fn, v, frames, num_track_slots=8,
+                                  dim=64, score_thresh=0.0, filter_thresh=0.0)
     assert len(res) == 3
-    # with zero thresholds all slots become tracks and keep their ids
+    # with zero thresholds the track slots fill up and ids persist
+    assert len(res[0]["ids"]) == 8
     np.testing.assert_array_equal(res[0]["ids"], res[1]["ids"])
     np.testing.assert_array_equal(res[1]["ids"], res[2]["ids"])
+    # propagated query embeddings must reach the next frame's forward
+    out0 = apply_fn(v, jnp.asarray(frames[0][None]),
+                    jnp.zeros((1, 8, 64)), jnp.tile(
+                        jnp.asarray([0.5, 0.5, 0.1, 0.1]), (1, 8, 1)))
+    out1 = apply_fn(v, jnp.asarray(frames[0][None]),
+                    jnp.asarray(out0["query_embed"][:, :8]),
+                    out0["boxes"][:, :8])
+    assert not np.allclose(np.asarray(out0["logits"]),
+                           np.asarray(out1["logits"]))
 
 
 def test_clip_matcher_keeps_slot_assignment():
