@@ -28,11 +28,13 @@ def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
     motp_sum = 0.0
     prev_match: Dict[int, int] = {}       # gt_id -> tracker_id (last match)
     gt_total = 0
+    matched_per_frame = []                # set of matched gt ids per frame
     for t in range(len(data["gt_ids"])):
         gids = np.asarray(data["gt_ids"][t])
         pids = np.asarray(data["tracker_ids"][t])
         sim = np.asarray(data["similarity_scores"][t], float)
         gt_total += len(gids)
+        matched_per_frame.append(set())
         if len(gids) == 0:
             fp += len(pids)
             continue
@@ -56,13 +58,37 @@ def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
         motp_sum += float(sim[rows, cols].sum())
         for i, j in zip(rows, cols):
             g, p = int(gids[i]), int(pids[j])
+            matched_per_frame[-1].add(g)
             if g in prev_match and prev_match[g] != p:
                 idsw += 1
             prev_match[g] = p
     mota = 1.0 - (fn + fp + idsw) / max(1, gt_total)
+    # track-level stats: mostly-tracked (>80% of frames matched), mostly-lost
+    # (<20%), fragmentations (matched->unmatched transitions)
+    g = data["num_gt_ids"]
+    gt_frames = np.zeros(g)
+    matched_frames = np.zeros(g)
+    frag = 0
+    prev_matched = np.zeros(g, bool)
+    for t in range(len(data["gt_ids"])):
+        gids = np.asarray(data["gt_ids"][t])
+        gt_frames[gids] += 1
+        present = np.zeros(g, bool)
+        present[gids] = True
+        now = np.zeros(g, bool)
+        for gid in matched_per_frame[t]:
+            now[gid] = True
+        matched_frames[now] += 1
+        # fragmentation: was matched, still present, now unmatched; absence
+        # from gt does not break a track (TrackEval convention)
+        frag += int(np.sum(prev_matched & present & ~now))
+        prev_matched = now | (prev_matched & ~present)
+    ratio = matched_frames / np.maximum(gt_frames, 1)
     return {"MOTA": mota, "MOTP": motp_sum / max(1, tp), "CLR_TP": tp,
             "CLR_FN": fn, "CLR_FP": fp, "IDSW": idsw,
-            "CLR_Re": tp / max(1, tp + fn), "CLR_Pr": tp / max(1, tp + fp)}
+            "CLR_Re": tp / max(1, tp + fn), "CLR_Pr": tp / max(1, tp + fp),
+            "MT": int((ratio > 0.8).sum()), "ML": int((ratio < 0.2).sum()),
+            "Frag": frag}
 
 
 def identity_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:

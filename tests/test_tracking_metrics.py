@@ -94,3 +94,27 @@ def test_threshold_rejects_low_iou():
 def test_evaluate_sequences_mean():
     out = evaluate_sequences([_seq_perfect(), _seq_perfect(T=3, n=1)])
     assert out["HOTA"] == 1.0 and out["MOTA"] == 1.0 and out["IDF1"] == 1.0
+
+
+def test_mt_ml_frag():
+    """gt0 tracked 4/4 frames (MT); gt1 tracked 1/4 (ML); gt2 matched,
+    dropped mid-sequence, re-matched -> 1 fragmentation."""
+    T = 4
+    sims = []
+    for t in range(T):
+        s = np.zeros((3, 3))
+        s[0, 0] = 1.0                        # gt0 always tracked
+        if t == 0:
+            s[1, 1] = 1.0                    # gt1 only frame 0
+        if t in (0, 2, 3):
+            s[2, 2] = 1.0                    # gt2 missing frame 1 -> frag
+        sims.append(s)
+    d = {"num_gt_ids": 3, "num_tracker_ids": 3,
+         "gt_ids": [np.arange(3)] * T,
+         "tracker_ids": [np.arange(3)] * T,
+         "similarity_scores": sims}
+    c = clear_metrics(d)
+    assert c["MT"] == 1          # gt0 (4/4); gt2 at 3/4 = 0.75 is not > 0.8
+    assert c["ML"] == 0          # gt1 at 1/4 = 0.25 is not < 0.2
+    # gt1: matched f0 -> lost f1 (1 frag); gt2: matched f0 -> lost f1 -> back
+    assert c["Frag"] == 2
