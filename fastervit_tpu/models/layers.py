@@ -499,9 +499,12 @@ class HAT(nn.Module):
                 interpret = not attention_ops._on_tpu()
                 return fused_hat_block(x, params, bias, self.num_heads,
                                        scale, interpret)
-            # fall through to the jnp composition with the declared params
+            # VMEM overflow (large-C stages of fv3+): composed math but the
+            # attention still goes through the packed Pallas kernel
             from fastervit_tpu.ops.pallas_hat_block import hat_block_reference
-            return hat_block_reference(x, params, bias, self.num_heads, scale)
+            return hat_block_reference(x, params, bias, self.num_heads, scale,
+                                       attn_impl="pallas"
+                                       if attention_ops._on_tpu() else "jnp")
         attn_out = WindowAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,

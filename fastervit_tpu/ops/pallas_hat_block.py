@@ -112,23 +112,31 @@ def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
     out_ref[:] = x32.astype(out_ref.dtype)
 
 
-def hat_block_reference(x, params, bias, num_heads: int, scale: float):
-    """jnp composition with identical semantics (VJP + fallback + tests)."""
+def hat_block_reference(x, params, bias, num_heads: int, scale: float,
+                        attn_impl: str = "jnp"):
+    """jnp composition with identical semantics (VJP + tests); with
+    attn_impl='pallas' it is the VMEM-overflow fallback that still routes the
+    attention itself through the packed Pallas kernel."""
     x32 = x.astype(jnp.float32)
     y = _ln(x32, params["ln1_scale"].astype(jnp.float32),
             params["ln1_bias"].astype(jnp.float32))
     b, s, c = x.shape
     hd = c // num_heads
-    qkv = (y.astype(x.dtype) @ params["qkv_w"]).astype(jnp.float32) + params["qkv_b"]
-    qkv = qkv.astype(x.dtype).reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + bias[None].astype(jnp.float32)
-    p = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.einsum("bhst,bhtd->bhsd", p.astype(x.dtype), v,
-                     preferred_element_type=jnp.float32)
-    ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, c)
+    qkv3 = (y.astype(x.dtype) @ params["qkv_w"]).astype(jnp.float32) + params["qkv_b"]
+    qkv3 = qkv3.astype(x.dtype)
+    if attn_impl == "pallas":
+        from fastervit_tpu.ops.pallas_attention import fused_window_mhsa
+        ctx = fused_window_mhsa(qkv3, bias, num_heads, scale, False)
+    else:
+        qkv = qkv3.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias[None].astype(jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhst,bhtd->bhsd", p.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, c)
     proj = (ctx @ params["proj_w"]).astype(jnp.float32) + params["proj_b"]
     x32 = x32 + params["gamma3"].astype(jnp.float32) * proj
     y = _ln(x32, params["ln2_scale"].astype(jnp.float32),
