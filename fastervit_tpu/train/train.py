@@ -113,8 +113,21 @@ def _make_loaders(args, data_cfg):
     return train_loader, eval_loader
 
 
+def _snapshot_code(output_dir: str) -> None:
+    """Copy the package's .py sources into output/code_copy (reference
+    train.py:723-731) for exact-run reproducibility."""
+    import shutil
+
+    import fastervit_tpu
+    src = os.path.dirname(fastervit_tpu.__file__)
+    dst = os.path.join(output_dir, "code_copy")
+    shutil.copytree(src, dst, dirs_exist_ok=True,
+                    ignore=shutil.ignore_patterns("__pycache__"))
+
+
 def train(args) -> dict:
     os.makedirs(args.output, exist_ok=True)
+    _snapshot_code(args.output)
     mesh = create_mesh()
     dtype = getattr(jnp, args.dtype)
     overrides = {"num_classes": args.num_classes}

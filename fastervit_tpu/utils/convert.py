@@ -160,6 +160,28 @@ def load_pytorch_checkpoint(model, checkpoint_path: str, use_ema: bool = False,
     return convert_state_dict(sd, variables)
 
 
+def export_state_dict(variables) -> Dict[str, Any]:
+    """Reverse conversion: flax variables -> a reference-layout torch
+    state_dict (numpy tensors; call torch.from_numpy per value to save), so
+    TPU-trained weights can flow back into the PyTorch ecosystem."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    sd: Dict[str, Any] = {}
+    for path, val in flat:
+        parts = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        tkey = torch_key_for_path(parts[1:])
+        arr = np.asarray(val)
+        if arr.ndim == 2:
+            arr = arr.T
+        elif arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[tkey] = np.ascontiguousarray(arr)
+        if "global_tokenizer.to_global_feature.pos." in tkey:
+            # core registers the tokenizer conv under two names
+            # (faster_vit.py:726-730); emit both
+            sd[tkey.replace("to_global_feature.pos", "pos_embed")] = sd[tkey]
+    return sd
+
+
 def main(argv=None):
     """CLI: convert a reference .pth.tar into an orbax checkpoint.
 

@@ -107,3 +107,28 @@ def test_parity_faster_vit_3_224():
     diff = _compare("faster_vit_3_224", {}, {}, (224, 224), batch=1,
                     atol=5e-4)
     print("max |diff| fv3:", diff)
+
+
+def test_export_state_dict_roundtrip():
+    """flax -> torch state_dict -> flax must be the identity, and the torch
+    reference must accept the exported dict (strict load)."""
+    import torch
+    from fastervit_tpu.utils.convert import convert_state_dict, export_state_dict
+    fv = load_reference()
+    kw = dict(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16)
+    jm = create_model("faster_vit_0_224", **kw)
+    v = jm.init()
+    sd = export_state_dict(v)
+    tm = fv.create_model("faster_vit_0_224", **kw)
+    tsd = {k: torch.from_numpy(val) for k, val in sd.items()
+           if k in tm.state_dict()}
+    missing = [k for k in tm.state_dict()
+               if k not in tsd and "num_batches_tracked" not in k
+               and not k.endswith(("relative_coords_table",
+                                   "relative_position_index",
+                                   "relative_bias"))]
+    assert not missing, missing
+    tm.load_state_dict(tsd, strict=False)
+    back = convert_state_dict(sd, jm.init())
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), v, back)
