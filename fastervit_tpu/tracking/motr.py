@@ -190,6 +190,124 @@ def motr_inference_sequence(apply_fn, variables, frames,
     return results
 
 
+def motr_clip_forward(detector, params, batch_stats, frames,
+                      propagate_boxes: bool = True):
+    """Differentiable clip forward: per-frame detector forwards with the
+    QIM-refreshed track-query embeddings (and optionally predicted boxes)
+    propagated to the next frame — the structure MOTR trains through
+    (reference motr.py:646-700; per-frame jax.checkpoint replaces the custom
+    CheckpointFunction).
+
+    frames: (F, B, H, W, 3). Returns list of per-frame output dicts.
+    """
+    b = frames.shape[1]
+    t, dim = detector.num_track_queries, detector.dim
+    embed = jnp.zeros((b, t, dim))
+    boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.1, 0.1]), (b, t, 1))
+
+    def frame_fwd(p, bs, img, e, bx):
+        return detector.apply({"params": p, "batch_stats": bs}, img,
+                              track_embed=e, track_boxes=bx, training=False)
+
+    frame_fwd = jax.checkpoint(frame_fwd)
+    outputs = []
+    for f in range(frames.shape[0]):
+        out = frame_fwd(params, batch_stats, frames[f], embed, boxes)
+        outputs.append(out)
+        embed = out["query_embed"][:, :t]
+        bx = out["boxes"][-1][:, :t] if isinstance(out["boxes"], list) \
+            else out["boxes"][:, :t]
+        boxes = jax.lax.stop_gradient(bx) if propagate_boxes else boxes
+    return outputs
+
+
+def make_motr_clip_train_step(detector, tx, num_classes: int = 1):
+    """Two-phase clip training: (A) no-grad clip forward -> host clip
+    matching; (B) jitted grad step recomputing the propagated forward with
+    the assignments fixed."""
+
+    def clip_loss(params, batch_stats, frames, tgt_labels, tgt_boxes,
+                  tgt_mask, assignment):
+        from fastervit_tpu.detection.engine import detection_loss
+        outs = motr_clip_forward(detector, params, batch_stats, frames)
+        total = 0.0
+        for f, out in enumerate(outs):
+            loss, _ = detection_loss(
+                {"logits": [out["logits"]], "boxes": [out["boxes"]]},
+                {"labels": tgt_labels[f], "boxes": tgt_boxes[f],
+                 "mask": tgt_mask[f]},
+                assignment[f][None], num_classes)
+            total = total + loss
+        return total / len(outs)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, frames, tgt_labels,
+                   tgt_boxes, tgt_mask, assignment):
+        import optax
+        loss, grads = jax.value_and_grad(clip_loss)(
+            params, batch_stats, frames, tgt_labels, tgt_boxes, tgt_mask,
+            assignment)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def motr_clip_train_epoch(detector, variables, opt_state, tx, clips,
+                          max_targets: int = 10, num_classes: int = 1):
+    """clips: iterable of (frames (F,B,H,W,3), per-frame-per-image targets
+    with 'track_ids'). Clip-consistent matching: a gt identity keeps its
+    first-matched query slot across the clip (ClipMatcher, motr.py:36)."""
+    from fastervit_tpu.detection.engine import pad_targets
+    from fastervit_tpu.ops.boxes import hungarian_cost_matrix, hungarian_match
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    step = make_motr_clip_train_step(detector, tx, num_classes)
+    fwd = jax.jit(lambda p, bs, fr: [
+        jax.tree.map(jax.lax.stop_gradient, o)
+        for o in motr_clip_forward(detector, p, bs, fr)])
+    losses = []
+    for frames, targets_per_frame in clips:
+        frames = jnp.asarray(frames)
+        f, b = frames.shape[0], frames.shape[1]
+        outs = fwd(params, batch_stats, frames)
+        # clip-consistent assignment per image
+        tgts = [pad_targets(tf, max_targets) for tf in targets_per_frame]
+        assignment = np.full((f, b, max_targets), -1, np.int32)
+        for bi in range(b):
+            assigned: Dict[int, int] = {}
+            for fi in range(f):
+                tf = targets_per_frame[fi][bi]
+                logits = np.asarray(outs[fi]["logits"][bi])
+                boxes = np.asarray(outs[fi]["boxes"][bi])
+                q = logits.shape[0]
+                ids = list(map(int, tf["track_ids"]))
+                new = [k for k, i in enumerate(ids) if i not in assigned]
+                taken = [assigned[i] for i in ids if i in assigned]
+                free = np.setdiff1d(np.arange(q), taken)
+                if new:
+                    cost = hungarian_cost_matrix(
+                        jnp.asarray(logits[free]), jnp.asarray(boxes[free]),
+                        jnp.asarray(np.asarray(tf["labels"])[new]),
+                        jnp.asarray(np.asarray(tf["boxes"])[new]))
+                    r, c = hungarian_match(np.asarray(cost))
+                    for ri, ci in zip(r, c):
+                        assigned[ids[new[ci]]] = int(free[ri])
+                for k, i in enumerate(ids[:max_targets]):
+                    assignment[fi, bi, k] = assigned[i]
+        params, opt_state, loss = step(
+            params, batch_stats, opt_state, frames,
+            jnp.asarray(np.stack([t["labels"] for t in tgts])),
+            jnp.asarray(np.stack([t["boxes"] for t in tgts])),
+            jnp.asarray(np.stack([t["mask"] for t in tgts])),
+            jnp.asarray(assignment))
+        losses.append(float(loss))
+    return ({"params": params, "batch_stats": batch_stats}, opt_state,
+            {"loss": float(np.mean(losses))})
+
+
 def clip_matcher_loss(per_frame_outputs: List[Dict],
                       per_frame_targets: List[Dict],
                       num_classes: int = 1) -> Dict[str, jnp.ndarray]:
