@@ -164,6 +164,7 @@ def hota_metrics(data: Dict,
     tp = np.zeros(na)
     fn = np.zeros(na)
     fp = np.zeros(na)
+    loc_sum = np.zeros(na)
     match_counts = np.zeros((na, g, p))
     for t in range(nt):
         gids = np.asarray(data["gt_ids"][t])
@@ -184,6 +185,7 @@ def hota_metrics(data: Dict,
             tp[a] += n_m
             fn[a] += len(gids) - n_m
             fp[a] += len(pids) - n_m
+            loc_sum[a] += float(matched_sim[ok].sum())
             match_counts[a][gids[rows[ok]], pids[cols[ok]]] += 1
 
     det_a = tp / np.maximum(1, tp + fn + fp)
@@ -194,9 +196,11 @@ def hota_metrics(data: Dict,
                 EPS, gt_count[:, None] + trk_count[None, :] - match_counts[a])
             ass_a[a] = (ass * match_counts[a]).sum() / tp[a]
     hota = np.sqrt(det_a * ass_a)
+    loc_a = np.where(tp > 0, loc_sum / np.maximum(tp, 1), 1.0)
     return {"HOTA": float(hota.mean()), "DetA": float(det_a.mean()),
-            "AssA": float(ass_a.mean()), "HOTA_alpha": hota,
-            "DetA_alpha": det_a, "AssA_alpha": ass_a}
+            "AssA": float(ass_a.mean()), "LocA": float(loc_a.mean()),
+            "HOTA_alpha": hota, "DetA_alpha": det_a, "AssA_alpha": ass_a,
+            "LocA_alpha": loc_a}
 
 
 def evaluate_sequences(seqs: List[Dict]) -> Dict[str, float]:
