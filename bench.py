@@ -49,14 +49,16 @@ def main():
     # NOTE: through the axon relay, block_until_ready can return before the
     # device has executed; a host fetch of a result-dependent scalar is the
     # only reliable barrier, and the iteration chain (s feeds back in)
-    # serializes execution.
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out, s = fwd_chained(variables, x, s)
-    float(s)
-    dt = time.perf_counter() - t0
-
-    img_s = BATCH * ITERS / dt
+    # serializes execution. Median of 3 windows defends against the relay's
+    # ±4% run-to-run variance.
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out, s = fwd_chained(variables, x, s)
+        float(s)
+        rates.append(BATCH * ITERS / (time.perf_counter() - t0))
+    img_s = sorted(rates)[1]
     print(json.dumps({
         "metric": f"{MODEL} inference images/sec/chip (bf16, 224px, batch {BATCH})",
         "value": round(img_s, 1),
