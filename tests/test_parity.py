@@ -132,3 +132,12 @@ def test_export_state_dict_roundtrip():
     back = convert_state_dict(sd, jm.init())
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), v, back)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_4_21k_224():
+    """271M-param 21k variant: stage-2 window == resolution (global
+    attention), squash-crop data config."""
+    diff = _compare("faster_vit_4_21k_224", {}, {}, (224, 224), batch=1,
+                    atol=5e-4)
+    print("max |diff| fv4-21k:", diff)

@@ -105,3 +105,19 @@ def test_frozen_param_labels():
     labels0 = frozen_param_labels(params, frozen_stages=-1)
     assert all(v == "trainable" for _, v in
                jax.tree_util.tree_flatten_with_path(labels0)[0])
+
+def test_pyramid_rectangular_input_with_padding():
+    """Detection-style odd input (e.g. 200x320): stage maps pad to window
+    multiples internally and crop back; output strides stay 4/8/16/32."""
+    jm = create_model("faster_vit_0_224", pyramid=True, depths=[1, 1, 1, 1],
+                      num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                      resolution=[200, 320])
+    x = jnp.zeros((1, 200, 320, 3))
+    v = jm.module.init(__import__("jax").random.PRNGKey(0), x)
+    outs = jm.module.apply(v, x)
+    assert outs["res2"].shape == (1, 50, 80, 32)
+    assert outs["res3"].shape == (1, 25, 40, 64)
+    assert outs["res4"].shape == (1, 13, 20, 128)   # ceil(25/2), 40/2
+    assert outs["res5"].shape == (1, 7, 10, 256)
+    for k, o in outs.items():
+        assert np.isfinite(np.asarray(o)).all(), k
