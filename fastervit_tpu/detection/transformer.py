@@ -148,6 +148,12 @@ class DeformableTransformer(nn.Module):
     num_queries: int = 900
     num_classes: int = 91
     dropout: float = 0.0
+    # DINO defaults: box/class heads shared across decoder layers and a
+    # shared final LayerNorm on decoder hidden states
+    # (dec_pred_bbox_embed_share, deformable_transformer.py TransformerDecoder
+    # self.norm). Box outputs are recorded undetached from the current
+    # layer's update = look_forward_twice=True semantics.
+    share_dec_heads: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,6 +231,20 @@ class DeformableTransformer(nn.Module):
                    "logits": [], "boxes": [], "hidden": []}
         ref_point_head = MLPHead(self.dim, self.dim, layers=2,
                                  dtype=self.dtype, name="ref_point_head")
+        dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                name="dec_norm")
+        if self.share_dec_heads:
+            bbox_heads = [MLPHead(self.dim, 4, dtype=self.dtype,
+                                  name="bbox_embed")] * self.dec_layers
+            class_heads = [nn.Dense(self.num_classes, dtype=self.dtype,
+                                    name="class_embed")] * self.dec_layers
+        else:
+            bbox_heads = [MLPHead(self.dim, 4, dtype=self.dtype,
+                                  name=f"bbox_head_{i}")
+                          for i in range(self.dec_layers)]
+            class_heads = [nn.Dense(self.num_classes, dtype=self.dtype,
+                                    name=f"class_head_{i}")
+                           for i in range(self.dec_layers)]
         for i in range(self.dec_layers):
             qp = ref_point_head(
                 sine_position_embedding(ref_boxes, self.dim // 2))
@@ -233,13 +253,12 @@ class DeformableTransformer(nn.Module):
                                self.dtype, name=f"decoder_{i}")(
                 tgt, qp, ref_boxes, memory, spatial_shapes, padding_mask,
                 deterministic, self_attn_mask=dn_attn_mask)
-            delta = MLPHead(self.dim, 4, dtype=self.dtype,
-                            name=f"bbox_head_{i}")(tgt)
+            hidden = dec_norm(tgt)
+            delta = bbox_heads[i](hidden)
             new_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
-            logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                              name=f"class_head_{i}")(tgt)
+            logits = class_heads[i](hidden)
             outputs["logits"].append(logits)
             outputs["boxes"].append(new_boxes)
-            outputs["hidden"].append(tgt)
+            outputs["hidden"].append(hidden)
             ref_boxes = jax.lax.stop_gradient(new_boxes)
         return outputs
