@@ -177,11 +177,18 @@ def criterion(outputs: Dict, targets: List[Dict], num_classes: int,
     Matching runs on host (tiny LPs); losses are jnp.
     """
     total = {"loss_ce": 0.0, "loss_bbox": 0.0, "loss_giou": 0.0}
-    num_layers = len(outputs["logits"])
+    logits_l = list(outputs["logits"])
+    boxes_l = list(outputs["boxes"])
+    if "interm_logits" in outputs:
+        # encoder top-k (interm) aux loss, matched like a decoder layer
+        # (reference dino.py:302-307 interm_outputs in the criterion)
+        logits_l.append(outputs["interm_logits"])
+        boxes_l.append(outputs["interm_boxes"])
+    num_layers = len(logits_l)
     num_boxes = max(1, sum(len(t["labels"]) for t in targets))
     for li in range(num_layers):
-        logits = outputs["logits"][li]
-        boxes = outputs["boxes"][li]
+        logits = logits_l[li]
+        boxes = boxes_l[li]
         for bi, tgt in enumerate(targets):
             t_labels = jnp.asarray(tgt["labels"])
             t_boxes = jnp.asarray(tgt["boxes"])

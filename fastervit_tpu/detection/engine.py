@@ -41,34 +41,51 @@ def pad_targets(targets: List[Dict], max_targets: int) -> Dict[str, np.ndarray]:
     return {"labels": labels, "boxes": boxes, "mask": mask}
 
 
+def loss_layers(outputs) -> Tuple[List, List]:
+    """Decoder layers + the encoder's top-k (interm) proposals as one extra
+    matched layer (reference SetCriterion handles interm_outputs with the
+    same Hungarian losses, dino.py:302-307 + engine loss_dict)."""
+    logits = list(outputs["logits"])
+    boxes = list(outputs["boxes"])
+    if "interm_logits" in outputs:
+        logits.append(outputs["interm_logits"])
+        boxes.append(outputs["interm_boxes"])
+    return logits, boxes
+
+
 def make_cost_fn(num_layers: int):
     @jax.jit
     def cost_fn(outputs, tgt):
+        logits_l, boxes_l = loss_layers(outputs)
         costs = []
         for li in range(num_layers):
             layer = []
             for bi in range(tgt["labels"].shape[0]):
-                c = hungarian_cost_matrix(outputs["logits"][li][bi],
-                                          outputs["boxes"][li][bi],
+                c = hungarian_cost_matrix(logits_l[li][bi],
+                                          boxes_l[li][bi],
                                           tgt["labels"][bi], tgt["boxes"][bi])
                 # invalid targets get prohibitive cost so they never match
                 c = jnp.where(tgt["mask"][bi][None, :], c, 1e6)
                 layer.append(c)
             costs.append(jnp.stack(layer))
-        return jnp.stack(costs)      # (L, B, Q, T)
+        return costs                 # list of L x (B, Q_l, T)
     return cost_fn
 
 
-def solve_assignments(costs: np.ndarray, tgt_mask: np.ndarray) -> np.ndarray:
-    """(L, B, Q, T) costs -> (L, B, T) query index per target (-1 invalid)."""
-    l, b, q, t = costs.shape
+def solve_assignments(costs, tgt_mask: np.ndarray) -> np.ndarray:
+    """list of (B, Q_l, T) costs -> (L, B, T) query index per target
+    (-1 invalid). Q may differ per layer (interm layer vs dn-augmented
+    decoder layers)."""
+    l = len(costs)
+    b, _, t = np.asarray(costs[0]).shape
     out = np.full((l, b, t), -1, np.int32)
     for li in range(l):
+        ci = np.asarray(costs[li])
         for bi in range(b):
             n = int(tgt_mask[bi].sum())
             if n == 0:
                 continue
-            rows, cols = hungarian_match(costs[li, bi][:, :n])
+            rows, cols = hungarian_match(ci[bi][:, :n])
             for r, c in zip(rows, cols):
                 out[li, bi, c] = r
     return out
@@ -77,15 +94,17 @@ def solve_assignments(costs: np.ndarray, tgt_mask: np.ndarray) -> np.ndarray:
 def detection_loss(outputs, tgt, assignment, num_classes: int,
                    weight_class: float = 1.0, weight_bbox: float = 5.0,
                    weight_giou: float = 2.0):
-    """Jit-friendly criterion given assignments (L, B, T)."""
-    num_layers = len(outputs["logits"])
+    """Jit-friendly criterion given assignments (L, B, T); L covers the
+    decoder layers plus the encoder interm layer (see loss_layers)."""
+    logits_l, boxes_l = loss_layers(outputs)
+    num_layers = len(logits_l)
     num_boxes = jnp.maximum(tgt["mask"].sum(), 1)
     total_ce = 0.0
     total_bbox = 0.0
     total_giou = 0.0
     for li in range(num_layers):
-        logits = outputs["logits"][li]          # (B, Q, K)
-        boxes = outputs["boxes"][li]
+        logits = logits_l[li]                   # (B, Q, K)
+        boxes = boxes_l[li]
         b, q, k = logits.shape
         idx = jnp.clip(assignment[li], 0, q - 1)          # (B, T)
         valid = (assignment[li] >= 0) & tgt["mask"]
@@ -145,8 +164,8 @@ def train_detection_epoch(detector, variables, opt_state, tx, loader,
         tgt = jax.tree.map(jnp.asarray, pad_targets(targets, max_targets))
         out = fwd(params, images)
         if cost_fn is None:
-            cost_fn = make_cost_fn(len(out["logits"]))
-        costs = np.asarray(cost_fn(jax.lax.stop_gradient(out), tgt))
+            cost_fn = make_cost_fn(len(loss_layers(out)[0]))
+        costs = cost_fn(jax.lax.stop_gradient(out), tgt)
         assignment = jnp.asarray(solve_assignments(costs,
                                                    np.asarray(tgt["mask"])))
         params, opt_state, metrics = step(params, batch_stats, opt_state,

@@ -2,15 +2,30 @@
 with DINO-style two-stage query selection and iterative box refinement —
 the TPU rebuild of the reference's
 downstream/object_detection/dino/models/dino/deformable_transformer.py
-(encoder :26, decoder :446, two-stage selection :596-794).
+(encoder :446, decoder :596, two-stage selection :327-431).
+
+Numerics follow the reference exactly (for converted-checkpoint parity):
+- sine embeddings use the (y, x, w, h) 128-feat interleaved sin/cos layout of
+  gen_sineembed_for_position (dino/models/dino/utils.py:151-177);
+- encoder memory pos-embed is PositionEmbeddingSineHW with temperature 20
+  (position_encoding.py:64-135, config pe_temperatureH/W=20) plus level embed;
+- two-stage proposals are inverse-sigmoid grid anchors with wh=0.05*2^lvl,
+  masked to +inf outside (0.01, 0.99) (utils.py:19-76), scored through the
+  enc_output Linear+LayerNorm projection and separate enc_out_{class,bbox}
+  heads (deformable_transformer.py:334-371);
+- the decoder refines boxes from the *unnormed* layer output while reported
+  per-layer boxes/logits come from the shared-LayerNorm hidden states
+  (deformable_transformer.py:757-790 vs dino.py:280-291), with
+  look_forward_twice gradient flow (undetached ref recorded per layer).
 
 Functional flax modules around fastervit_tpu.ops.msda; static multi-scale
-shapes; everything jit-compatible.
+shapes; everything jit-compatible (no padding masks: TPU batches are fixed
+resolution, valid_ratios == 1).
 """
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -21,23 +36,73 @@ from fastervit_tpu.ops.msda import MSDeformAttnModule
 
 
 def inverse_sigmoid(x, eps: float = 1e-3):
-    x = jnp.clip(x, eps, 1 - eps)
-    return jnp.log(x / (1 - x))
+    """util/misc.py inverse_sigmoid: clamp to [eps, 1] then logit."""
+    x = jnp.clip(x, 0, 1)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1 - x, eps, None)
+    return jnp.log(x1 / x2)
 
 
-def sine_position_embedding(coords: jnp.ndarray, num_feats: int = 128,
-                            temperature: float = 10000.0) -> jnp.ndarray:
-    """Sine embedding of normalized coords (..., D) -> (..., D*num_feats)."""
-    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
-    dim_t = temperature ** (2 * (dim_t // 2) / num_feats)
-    pos = coords[..., None] * 2 * math.pi / dim_t
-    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
-                    axis=-1).reshape(*coords.shape[:-1], -1)
-    return pos
+def _interleaved_sincos(coord: jnp.ndarray, num_feats: int,
+                        temperature: float) -> jnp.ndarray:
+    """(...,) coords -> (..., num_feats) as [sin f0, cos f0, sin f1, ...] —
+    the stack(sin(p[0::2]), cos(p[1::2])).flatten layout every reference
+    embedding uses (utils.py:161, position_encoding.py:57-58)."""
+    dim_t = temperature ** (2 * (np.arange(num_feats) // 2) / num_feats)
+    p = coord[..., None] / jnp.asarray(dim_t, jnp.float32)
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                     axis=-1).reshape(*coord.shape, num_feats)
+
+
+def gen_sineembed(pos: jnp.ndarray, num_feats: int = 128) -> jnp.ndarray:
+    """gen_sineembed_for_position (utils.py:151-177): (..., 2|4) normalized
+    coords -> (..., 2|4 * num_feats), ordered (y, x[, w, h])."""
+    scale = 2 * math.pi
+    parts = [_interleaved_sincos(pos[..., 1] * scale, num_feats, 10000.0),
+             _interleaved_sincos(pos[..., 0] * scale, num_feats, 10000.0)]
+    if pos.shape[-1] == 4:
+        parts.append(_interleaved_sincos(pos[..., 2] * scale, num_feats,
+                                         10000.0))
+        parts.append(_interleaved_sincos(pos[..., 3] * scale, num_feats,
+                                         10000.0))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def position_embedding_sine_hw(spatial_shapes: Sequence[Tuple[int, int]],
+                               num_pos_feats: int = 128,
+                               temperature_h: float = 20.0,
+                               temperature_w: float = 20.0) -> np.ndarray:
+    """PositionEmbeddingSineHW (position_encoding.py:64-135) for unpadded
+    inputs, flattened over all levels: (S, 2*num_pos_feats) float32.
+
+    y_embed = cumsum of ones = row+1 normalized by the last row (H) + eps;
+    channel layout cat(y-block, x-block), each interleaved sin/cos."""
+    eps = 1e-6
+    scale = 2 * math.pi
+    out = []
+    dim_ty = temperature_h ** (2 * (np.arange(num_pos_feats) // 2)
+                               / num_pos_feats)
+    dim_tx = temperature_w ** (2 * (np.arange(num_pos_feats) // 2)
+                               / num_pos_feats)
+    for h, w in spatial_shapes:
+        y = (np.arange(h, dtype=np.float32) + 1.0) / (h + eps) * scale
+        x = (np.arange(w, dtype=np.float32) + 1.0) / (w + eps) * scale
+        py = y[:, None] / dim_ty                       # (H, F)
+        px = x[:, None] / dim_tx                       # (W, F)
+        py = np.stack([np.sin(py[:, 0::2]), np.cos(py[:, 1::2])],
+                      -1).reshape(h, num_pos_feats)
+        px = np.stack([np.sin(px[:, 0::2]), np.cos(px[:, 1::2])],
+                      -1).reshape(w, num_pos_feats)
+        lvl = np.concatenate([np.repeat(py[:, None], w, 1),
+                              np.repeat(px[None], h, 0)], -1)   # (H, W, 2F)
+        out.append(lvl.reshape(h * w, 2 * num_pos_feats))
+    return np.concatenate(out, 0).astype(np.float32)
 
 
 def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]):
-    """Per-pixel normalized centers for each level: (S, L, 2) (static)."""
+    """Per-pixel normalized centers for each level: (S, L, 2) (static;
+    get_reference_points with valid_ratios == 1,
+    deformable_transformer.py:489-503)."""
     pts = []
     for h, w in spatial_shapes:
         y, x = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
@@ -48,7 +113,27 @@ def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]):
                        jnp.float32)
 
 
+def output_proposals(spatial_shapes: Sequence[Tuple[int, int]]):
+    """gen_encoder_output_proposals anchors (utils.py:34-65), unpadded:
+    returns (proposals_logit (S, 4) with +inf at invalid rows, valid (S,)
+    bool) as numpy statics."""
+    props = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        grid = np.stack([(gx.ravel() + 0.5) / w, (gy.ravel() + 0.5) / h], -1)
+        wh = np.full((h * w, 2), 0.05 * (2.0 ** lvl), np.float32)
+        props.append(np.concatenate([grid, wh], -1))
+    p = np.concatenate(props, 0)                        # (S, 4)
+    valid = ((p > 0.01) & (p < 0.99)).all(-1)
+    logit = np.log(p / (1 - p))
+    logit[~valid] = np.inf
+    return logit.astype(np.float32), valid
+
+
 class FFN(nn.Module):
+    """linear1 -> relu -> linear2 residual + LayerNorm (forward_ffn,
+    deformable_transformer.py:831-835/909-913)."""
     dim: int
     hidden: int
     dropout: float = 0.0
@@ -68,6 +153,8 @@ class FFN(nn.Module):
 
 
 class EncoderLayer(nn.Module):
+    """DeformableTransformerEncoderLayer (deformable_transformer.py:796-850):
+    MSDA self-attn (+pos on query) -> norm1 -> FFN(norm2)."""
     dim: int = 256
     n_heads: int = 8
     n_points: int = 4
@@ -93,6 +180,9 @@ class EncoderLayer(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    """DeformableTransformerDecoderLayer (deformable_transformer.py:852-1014),
+    module_seq ['sa','ca','ffn']: self-attn (q=k=tgt+query_pos, v=tgt, norm2)
+    -> MSDA cross-attn on tgt+query_pos (norm1) -> FFN (norm3)."""
     dim: int = 256
     n_heads: int = 8
     n_points: int = 4
@@ -110,31 +200,43 @@ class DecoderLayer(nn.Module):
             q, q, tgt,
             mask=self_attn_mask[None, None] if self_attn_mask is not None
             else None)
-        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + sa)
-        # cross-attention samples around the current boxes (4d refs)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + sa)
+        # cross-attention samples around the current boxes (4d refs,
+        # valid_ratios == 1 so the per-level ref is the box itself)
         ref = ref_boxes[:, :, None, :].repeat(self.n_levels, 2)  # (B,Q,L,4)
         ca = MSDeformAttnModule(self.dim, self.n_levels, self.n_heads,
                                 self.n_points, dtype=self.dtype,
                                 name="cross_attn")(
             tgt + query_pos, ref, memory, spatial_shapes, padding_mask)
-        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + ca)
         return FFN(self.dim, self.ffn_dim, self.dropout, self.dtype,
                    name="ffn")(tgt, deterministic)
 
 
 class MLPHead(nn.Module):
+    """util MLP: Linear stack with relu between (dino.py MLP)."""
     hidden: int
     out: int
     layers: int = 3
     dtype: jnp.dtype = jnp.float32
+    zero_init_last: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.layers - 1):
             x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
                                  name=f"layer_{i}")(x))
-        return nn.Dense(self.out, dtype=self.dtype,
+        last_init = (nn.initializers.zeros if self.zero_init_last
+                     else nn.initializers.lecun_normal())
+        return nn.Dense(self.out, dtype=self.dtype, kernel_init=last_init,
+                        bias_init=nn.initializers.zeros,
                         name=f"layer_{self.layers - 1}")(x)
+
+
+def _focal_bias(num_classes: int):
+    """class head bias init at prior_prob 0.01 (dino.py:135-137)."""
+    v = -math.log((1 - 0.01) / 0.01)
+    return nn.initializers.constant(v)
 
 
 class DeformableTransformer(nn.Module):
@@ -148,12 +250,14 @@ class DeformableTransformer(nn.Module):
     num_queries: int = 900
     num_classes: int = 91
     dropout: float = 0.0
-    # DINO defaults: box/class heads shared across decoder layers and a
-    # shared final LayerNorm on decoder hidden states
-    # (dec_pred_bbox_embed_share, deformable_transformer.py TransformerDecoder
-    # self.norm). Box outputs are recorded undetached from the current
-    # layer's update = look_forward_twice=True semantics.
+    # DINO defaults: box/class heads shared across decoder layers
+    # (dec_pred_bbox_embed_share) and a shared final LayerNorm on decoder
+    # hidden states; the internal refinement chain uses the unnormed output
+    # while reported boxes use the normed hidden (deformable_transformer.py
+    # :757-790 vs dino.py:280-291). Undetached refs are recorded per layer =
+    # look_forward_twice=True gradient flow.
     share_dec_heads: bool = True
+    dn_labelbook_size: int = 91
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,21 +265,23 @@ class DeformableTransformer(nn.Module):
                  deterministic=True, dn_labels=None, dn_boxes=None,
                  dn_attn_mask=None, track_tgt=None, track_boxes=None):
         """srcs: (B, S, C) flattened multi-scale features; returns dict with
-        per-layer decoder logits/boxes + encoder proposals.
+        per-layer decoder logits/boxes + encoder (interm) proposals.
 
         Contrastive-denoising inputs (DINO CDN, reference
         dino/models/dino/dn_components semantics): dn_labels (B, N_dn) noised
         class ids embedded via label_enc, dn_boxes (B, N_dn, 4) noised gt
-        anchors, dn_attn_mask (Q_total, Q_total) boolean allow-mask keeping
-        dn groups and matching queries mutually blind. dn queries occupy the
-        FIRST N_dn decoder slots of every output layer."""
+        anchors (sigmoid space), dn_attn_mask (Q_total, Q_total) boolean
+        allow-mask keeping dn groups and matching queries mutually blind. dn
+        queries occupy the FIRST N_dn decoder slots of every output layer."""
         b, s, c = srcs.shape
         n_levels = len(spatial_shapes)
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (n_levels, self.dim))
-        # positional encoding: sine of per-pixel centers + level embed
+        # positional encoding: SineHW(temperature 20) + level embed
+        # (deformable_transformer.py:280-292)
         ref_pts = encoder_reference_points(spatial_shapes)       # (S, L, 2)
-        pos = sine_position_embedding(ref_pts[:, 0], self.dim // 2)  # (S, C)
+        pos = jnp.asarray(position_embedding_sine_hw(
+            spatial_shapes, self.dim // 2))                       # (S, C)
         lvl = jnp.concatenate([
             jnp.tile(level_embed[i][None], (h * w, 1))
             for i, (h, w) in enumerate(spatial_shapes)], 0)
@@ -189,29 +295,44 @@ class DeformableTransformer(nn.Module):
                 memory, pos, ref_pts, spatial_shapes, padding_mask,
                 deterministic)
 
-        # --- two-stage: score encoder tokens, take top-k proposals ----------
-        enc_logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                              name="enc_class")(memory)          # (B, S, K)
-        anchors = []
-        for lv, (h, w) in enumerate(spatial_shapes):
-            y, x = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
-                               indexing="ij")
-            wh = np.full((h * w, 2), 0.05 * 2 ** lv)
-            anchors.append(np.concatenate(
-                [np.stack([x.ravel() / w, y.ravel() / h], -1), wh], -1))
-        anchors = jnp.asarray(np.concatenate(anchors, 0), jnp.float32)  # (S,4)
+        # --- two-stage: gen_encoder_output_proposals + enc_output projection
+        # (deformable_transformer.py:329-371) -------------------------------
+        proposals_logit, valid = output_proposals(spatial_shapes)
+        out_memory = memory * jnp.asarray(valid, memory.dtype)[None, :, None]
+        out_memory = nn.Dense(self.dim, dtype=self.dtype,
+                              name="enc_output")(out_memory)
+        out_memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="enc_output_norm")(out_memory)
+        enc_out_class = nn.Dense(self.num_classes, dtype=self.dtype,
+                                 bias_init=_focal_bias(self.num_classes),
+                                 name="enc_out_class_embed")
+        enc_logits = enc_out_class(out_memory)
         enc_delta = MLPHead(self.dim, 4, dtype=self.dtype,
-                            name="enc_bbox")(memory)             # (B, S, 4)
-        enc_boxes = jax.nn.sigmoid(enc_delta + inverse_sigmoid(anchors)[None])
+                            zero_init_last=True,
+                            name="enc_out_bbox_embed")(out_memory)
+        enc_unsig = enc_delta + jnp.asarray(proposals_logit)[None]  # (B,S,4)
 
         k = min(self.num_queries, s)
         scores = jnp.max(enc_logits, axis=-1)                    # (B, S)
         topk = jax.lax.top_k(scores, k)[1]                       # (B, k)
-        ref_boxes = jnp.take_along_axis(enc_boxes, topk[..., None], axis=1)
-        ref_boxes = jax.lax.stop_gradient(ref_boxes)
+        ref_undetach = jnp.take_along_axis(
+            enc_unsig, topk[..., None], axis=1)                  # unsigmoid
+        ref_boxes = jax.nn.sigmoid(jax.lax.stop_gradient(ref_undetach))
+        init_proposals = jax.nn.sigmoid(jnp.take_along_axis(
+            jnp.tile(jnp.asarray(proposals_logit)[None], (b, 1, 1)),
+            topk[..., None], axis=1))
+        tgt_undetach = jnp.take_along_axis(
+            out_memory, topk[..., None], axis=1)                 # (B, k, C)
+        # embed_init_tgt=True (DINO default): learned queries
         tgt = self.param("tgt_embed", nn.initializers.normal(1.0),
                          (self.num_queries, self.dim))[None, :k]
         tgt = jnp.tile(tgt, (b, 1, 1)).astype(self.dtype)
+
+        # encoder auxiliary (interm) outputs: class head re-applied to the
+        # gathered memory, boxes = sigmoid of the undetached gathered refs
+        # (dino.py:302-307)
+        interm_logits = enc_out_class(tgt_undetach)   # shares the enc head
+        interm_boxes = jax.nn.sigmoid(ref_undetach)
 
         if track_tgt is not None:
             # MOTR track queries join in front of the detect queries
@@ -220,45 +341,62 @@ class DeformableTransformer(nn.Module):
             ref_boxes = jnp.concatenate(
                 [jnp.asarray(track_boxes, ref_boxes.dtype), ref_boxes], 1)
         if dn_labels is not None:
-            dn_tgt = nn.Embed(self.num_classes + 1, self.dim,
+            dn_tgt = nn.Embed(self.dn_labelbook_size + 1, self.dim,
                               dtype=self.dtype, name="label_enc")(dn_labels)
             tgt = jnp.concatenate([dn_tgt, tgt], axis=1)
             ref_boxes = jnp.concatenate(
                 [jnp.asarray(dn_boxes, ref_boxes.dtype), ref_boxes], axis=1)
 
         # --- decoder with iterative refinement ------------------------------
-        outputs = {"enc_logits": enc_logits, "enc_boxes": enc_boxes,
-                   "logits": [], "boxes": [], "hidden": []}
+        outputs: Dict = {"enc_logits": enc_logits, "enc_boxes":
+                         jax.nn.sigmoid(enc_unsig),
+                         "interm_logits": interm_logits,
+                         "interm_boxes": interm_boxes,
+                         "init_proposals": init_proposals,
+                         "logits": [], "boxes": [], "hidden": []}
         ref_point_head = MLPHead(self.dim, self.dim, layers=2,
                                  dtype=self.dtype, name="ref_point_head")
         dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                 name="dec_norm")
         if self.share_dec_heads:
             bbox_heads = [MLPHead(self.dim, 4, dtype=self.dtype,
+                                  zero_init_last=True,
                                   name="bbox_embed")] * self.dec_layers
             class_heads = [nn.Dense(self.num_classes, dtype=self.dtype,
+                                    bias_init=_focal_bias(self.num_classes),
                                     name="class_embed")] * self.dec_layers
         else:
             bbox_heads = [MLPHead(self.dim, 4, dtype=self.dtype,
+                                  zero_init_last=True,
                                   name=f"bbox_head_{i}")
                           for i in range(self.dec_layers)]
             class_heads = [nn.Dense(self.num_classes, dtype=self.dtype,
+                                    bias_init=_focal_bias(self.num_classes),
                                     name=f"class_head_{i}")
                            for i in range(self.dec_layers)]
+        # look_forward_twice: per-layer reported refs are the undetached
+        # refinement from the previous layer (ref_points list in the
+        # reference decoder, deformable_transformer.py:784-788)
+        report_ref = ref_boxes
         for i in range(self.dec_layers):
-            qp = ref_point_head(
-                sine_position_embedding(ref_boxes, self.dim // 2))
+            qp = ref_point_head(gen_sineembed(ref_boxes, self.dim // 2))
             tgt = DecoderLayer(self.dim, self.n_heads, self.n_points,
                                n_levels, self.ffn_dim, self.dropout,
                                self.dtype, name=f"decoder_{i}")(
                 tgt, qp, ref_boxes, memory, spatial_shapes, padding_mask,
                 deterministic, self_attn_mask=dn_attn_mask)
             hidden = dec_norm(tgt)
-            delta = bbox_heads[i](hidden)
-            new_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
-            logits = class_heads[i](hidden)
-            outputs["logits"].append(logits)
-            outputs["boxes"].append(new_boxes)
+            # internal refinement on the unnormed output
+            # (deformable_transformer.py:761-765)
+            new_ref = jax.nn.sigmoid(bbox_heads[i](tgt)
+                                     + inverse_sigmoid(ref_boxes))
+            # reported outputs from the normed hidden + this layer's input
+            # (undetached) ref (dino.py:280-291)
+            out_box = jax.nn.sigmoid(bbox_heads[i](hidden)
+                                     + inverse_sigmoid(report_ref))
+            outputs["logits"].append(class_heads[i](hidden))
+            outputs["boxes"].append(out_box)
             outputs["hidden"].append(hidden)
-            ref_boxes = jax.lax.stop_gradient(new_boxes)
+            report_ref = new_ref                     # undetached (lft)
+            ref_boxes = jax.lax.stop_gradient(new_ref)
         return outputs
