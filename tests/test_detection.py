@@ -157,3 +157,52 @@ def test_cdn_loss_zero_box_for_exact_positives():
     assert float(losses["loss_bbox_dn"]) < 1e-6
     assert float(losses["loss_giou_dn"]) < 1e-5
     assert float(losses["loss_ce_dn"]) < 1e-2
+
+
+def test_coco_eval_full_breakdown():
+    """Area-range/maxDet/AR breakdowns with hand-computable expectations
+    (pycocotools 12-metric protocol, cocoeval.accumulate/summarize)."""
+    gt = [{"boxes": np.array([[0., 0., 16., 16.],       # small (256 px²)
+                              [100., 100., 300., 300.]]),  # large (40000)
+           "labels": np.array([1, 1])}]
+    pred = [{"boxes": gt[0]["boxes"].copy(), "labels": np.array([1, 1]),
+             "scores": np.array([0.9, 0.8])}]
+    res = evaluate_detections(pred, gt, full_breakdown=True)
+    assert abs(res["mAP"] - 1.0) < 1e-6
+    assert abs(res["APs"] - 1.0) < 1e-6
+    assert abs(res["APl"] - 1.0) < 1e-6
+    assert np.isnan(res["APm"])          # no medium gt anywhere
+    assert abs(res["AR100"] - 1.0) < 1e-6
+    # maxDet=1 keeps only the top-scored detection -> recall 1/2
+    assert abs(res["AR1"] - 0.5) < 1e-6
+    assert abs(res["ARs"] - 1.0) < 1e-6 and abs(res["ARl"] - 1.0) < 1e-6
+
+
+def test_coco_eval_crowd_ignore():
+    """A detection matching a crowd gt is neither TP nor FP; crowd gts are
+    excluded from the recall denominator (cocoeval ignore semantics)."""
+    gt = [{"boxes": np.array([[0., 0., 10., 10.], [50., 50., 80., 80.]]),
+           "labels": np.array([1, 1]),
+           "iscrowd": np.array([0, 1])}]
+    pred = [{"boxes": np.array([[0., 0., 10., 10.], [52., 52., 78., 78.]]),
+             "labels": np.array([1, 1]),
+             "scores": np.array([0.8, 0.9])}]  # crowd-hit scores HIGHER
+    res = evaluate_detections(pred, gt)
+    # the crowd match must not poison precision: AP stays 1.0
+    assert abs(res["mAP"] - 1.0) < 1e-6
+
+    # same second box but as a plain FP (no crowd flag, low IoU with gt 0)
+    gt2 = [{"boxes": np.array([[0., 0., 10., 10.]]),
+            "labels": np.array([1])}]
+    res2 = evaluate_detections(pred, gt2)
+    assert res2["AP50"] < 0.6
+
+
+def test_coco_eval_area_ignored_gt_not_counted():
+    """GT outside the area range is ignored: a large-only image contributes
+    nothing to APs (nan -> excluded, not zero)."""
+    gt = [{"boxes": np.array([[0., 0., 200., 200.]]), "labels": np.array([1])}]
+    pred = [{"boxes": np.array([[0., 0., 200., 200.]]),
+             "labels": np.array([1]), "scores": np.array([0.9])}]
+    res = evaluate_detections(pred, gt, full_breakdown=True)
+    assert np.isnan(res["APs"]) and abs(res["APl"] - 1.0) < 1e-6
