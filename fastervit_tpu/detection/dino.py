@@ -65,6 +65,25 @@ class DINODetector(nn.Module):
         return out
 
 
+def build_dino_from_config(cfg, dtype=jnp.float32) -> DINODetector:
+    """Build a DINODetector from a PyConfig (the reference's
+    build_dino(args) path, dino/main.py:84-90 + models/dino/dino.py:707,
+    configs under configs/dino/)."""
+    from fastervit_tpu.models.registry import get_config
+
+    backbone_cfg = get_config(cfg["backbone"],
+                              **cfg.get("backbone_overrides", {}))
+    return DINODetector(
+        backbone_cfg=backbone_cfg,
+        num_classes=cfg.get("num_classes", 91),
+        dim=cfg.get("hidden_dim", 256),
+        num_queries=cfg.get("num_queries", 900),
+        enc_layers=cfg.get("enc_layers", 6),
+        dec_layers=cfg.get("dec_layers", 6),
+        num_feature_levels=cfg.get("num_feature_levels", 4),
+        dtype=dtype)
+
+
 # ------------- contrastive denoising (DINO CDN, dn_components) -----------------
 
 def prepare_cdn(rng, tgt_padded: Dict, num_classes: int, num_queries: int,
