@@ -29,6 +29,21 @@ from fastervit_tpu.ops.boxes import (box_cxcywh_to_xyxy, generalized_box_iou,
                                      hungarian_cost_matrix, hungarian_match)
 
 
+def pos2posemb(pos: jnp.ndarray, num_pos_feats: int = 64,
+               temperature: float = 10000.0) -> jnp.ndarray:
+    """Scalar/vector sine embedding (reference qim.py:184-191 /
+    deformable_transformer_plus.py:392-399): (...,) -> (..., num_pos_feats)
+    interleaved sin/cos."""
+    import math
+
+    scale = 2 * math.pi
+    dim_t = temperature ** (2 * (np.arange(num_pos_feats) // 2)
+                            / num_pos_feats)
+    p = (pos * scale)[..., None] / jnp.asarray(dim_t, jnp.float32)
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                     axis=-1).reshape(*pos.shape, num_pos_feats)
+
+
 class QueryInteractionModule(nn.Module):
     """QIMv2 (reference qim.py): refresh surviving track queries with
     self-attention + FFN over the frame's output embeddings."""
@@ -58,16 +73,21 @@ class MOTRDetector(nn.Module):
     dim: int = 256
     num_detect_queries: int = 60
     num_track_queries: int = 60     # fixed slots; inactive slots are masked
+    num_proposal_queries: int = 0   # MOTRv2 YOLOX-proposal anchor queries
     enc_layers: int = 3
     dec_layers: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image, track_embed=None, track_boxes=None,
-                 training: bool = False):
+                 proposals=None, training: bool = False):
         """image: (B, H, W, 3); track_embed: (B, T, dim); track_boxes:
-        (B, T, 4) cxcywh in [0,1]. Returns dict with 'logits'/'boxes' over
-        T+Q queries (track slots first) and 'query_embed' outputs."""
+        (B, T, 4) cxcywh in [0,1]; proposals: (B, P, 5) external-detector
+        proposals (cxcywh normalized + score) that become anchor queries —
+        MOTRv2's headline trick (reference motr.py:464-473: ref_pts from the
+        proposal box, query_pos = pos2posemb(score) + yolox_embed). Returns
+        dict with 'logits'/'boxes' over T+P+Q queries (track slots first,
+        then proposal slots) and 'query_embed' outputs."""
         b = image.shape[0]
         feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
                                  name="backbone")(image, training=training)
@@ -92,6 +112,19 @@ class MOTRDetector(nn.Module):
         if track_boxes is None:
             track_boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.1, 0.1]),
                                    (b, t, 1))
+        if self.num_proposal_queries:
+            p = self.num_proposal_queries
+            if proposals is None:   # zero-score centered padding proposals
+                proposals = jnp.tile(
+                    jnp.asarray([0.5, 0.5, 0.1, 0.1, 0.0]), (b, p, 1))
+            yolox_embed = self.param("yolox_embed",
+                                     nn.initializers.normal(1.0), (self.dim,))
+            prop_tgt = (pos2posemb(proposals[..., 4], self.dim)
+                        + yolox_embed).astype(self.dtype)
+            track_embed = jnp.concatenate(
+                [track_embed, prop_tgt], axis=1)
+            track_boxes = jnp.concatenate(
+                [track_boxes, proposals[..., :4]], axis=1)
         out = DeformableTransformer(
             dim=self.dim, num_queries=self.num_detect_queries,
             num_classes=self.num_classes, enc_layers=self.enc_layers,
@@ -129,14 +162,16 @@ def motr_inference_sequence(apply_fn, variables, frames,
                             num_track_slots: int, dim: int,
                             score_thresh: float = 0.7,
                             filter_thresh: float = 0.6,
-                            miss_tolerance: int = 5) -> List[Dict]:
+                            miss_tolerance: int = 5,
+                            proposals_per_frame=None) -> List[Dict]:
     """Streaming inference (reference submit_dance.py Detector.detect +
     motr.py:573-644): per frame, forward with the carried track queries,
     update/kill/bear tracks by score thresholds, propagate QIM-refreshed
     embeddings and predicted boxes to the next frame.
 
-    apply_fn(variables, image, track_embed, track_boxes) -> the detector's
-    output dict; track slots are the FIRST num_track_slots queries.
+    apply_fn(variables, image, track_embed, track_boxes[, proposals]) -> the
+    detector's output dict; track slots are the FIRST num_track_slots
+    queries. proposals_per_frame: optional list of (P, 5) MOTRv2 proposals.
     """
     t = num_track_slots
     state = MOTRTrackState(
@@ -144,9 +179,15 @@ def motr_inference_sequence(apply_fn, variables, frames,
         embeds=np.zeros((t, dim), np.float32),
         boxes=np.tile(np.asarray([0.5, 0.5, 0.1, 0.1], np.float32), (t, 1)))
     results = []
-    for frame in frames:
-        out = apply_fn(variables, frame[None], state.embeds[None],
-                       state.boxes[None])
+    for fi, frame in enumerate(frames):
+        if proposals_per_frame is not None:
+            out = apply_fn(variables, frame[None], state.embeds[None],
+                           state.boxes[None],
+                           np.asarray(proposals_per_frame[fi],
+                                      np.float32)[None])
+        else:
+            out = apply_fn(variables, frame[None], state.embeds[None],
+                           state.boxes[None])
         scores = np.asarray(jax.nn.sigmoid(out["logits"][0]).max(-1))
         boxes = np.asarray(out["boxes"][0])
         embeds = np.asarray(out["query_embed"][0], np.float32)
@@ -191,28 +232,31 @@ def motr_inference_sequence(apply_fn, variables, frames,
 
 
 def motr_clip_forward(detector, params, batch_stats, frames,
-                      propagate_boxes: bool = True):
+                      propagate_boxes: bool = True, proposals=None):
     """Differentiable clip forward: per-frame detector forwards with the
     QIM-refreshed track-query embeddings (and optionally predicted boxes)
     propagated to the next frame — the structure MOTR trains through
     (reference motr.py:646-700; per-frame jax.checkpoint replaces the custom
     CheckpointFunction).
 
-    frames: (F, B, H, W, 3). Returns list of per-frame output dicts.
+    frames: (F, B, H, W, 3); proposals: optional (F, B, P, 5) MOTRv2
+    per-frame external proposals. Returns list of per-frame output dicts.
     """
     b = frames.shape[1]
     t, dim = detector.num_track_queries, detector.dim
     embed = jnp.zeros((b, t, dim))
     boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.1, 0.1]), (b, t, 1))
 
-    def frame_fwd(p, bs, img, e, bx):
+    def frame_fwd(p, bs, img, e, bx, props):
         return detector.apply({"params": p, "batch_stats": bs}, img,
-                              track_embed=e, track_boxes=bx, training=False)
+                              track_embed=e, track_boxes=bx,
+                              proposals=props, training=False)
 
     frame_fwd = jax.checkpoint(frame_fwd)
     outputs = []
     for f in range(frames.shape[0]):
-        out = frame_fwd(params, batch_stats, frames[f], embed, boxes)
+        props = None if proposals is None else proposals[f]
+        out = frame_fwd(params, batch_stats, frames[f], embed, boxes, props)
         outputs.append(out)
         embed = out["query_embed"][:, :t]
         bx = out["boxes"][-1][:, :t] if isinstance(out["boxes"], list) \
@@ -227,9 +271,10 @@ def make_motr_clip_train_step(detector, tx, num_classes: int = 1):
     the assignments fixed."""
 
     def clip_loss(params, batch_stats, frames, tgt_labels, tgt_boxes,
-                  tgt_mask, assignment):
+                  tgt_mask, assignment, proposals=None):
         from fastervit_tpu.detection.engine import detection_loss
-        outs = motr_clip_forward(detector, params, batch_stats, frames)
+        outs = motr_clip_forward(detector, params, batch_stats, frames,
+                                 proposals=proposals)
         total = 0.0
         for f, out in enumerate(outs):
             loss, _ = detection_loss(
@@ -242,11 +287,11 @@ def make_motr_clip_train_step(detector, tx, num_classes: int = 1):
 
     @jax.jit
     def train_step(params, batch_stats, opt_state, frames, tgt_labels,
-                   tgt_boxes, tgt_mask, assignment):
+                   tgt_boxes, tgt_mask, assignment, proposals=None):
         import optax
         loss, grads = jax.value_and_grad(clip_loss)(
             params, batch_stats, frames, tgt_labels, tgt_boxes, tgt_mask,
-            assignment)
+            assignment, proposals)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -257,22 +302,26 @@ def make_motr_clip_train_step(detector, tx, num_classes: int = 1):
 def motr_clip_train_epoch(detector, variables, opt_state, tx, clips,
                           max_targets: int = 10, num_classes: int = 1):
     """clips: iterable of (frames (F,B,H,W,3), per-frame-per-image targets
-    with 'track_ids'). Clip-consistent matching: a gt identity keeps its
-    first-matched query slot across the clip (ClipMatcher, motr.py:36)."""
+    with 'track_ids'[, proposals (F,B,P,5)]). Clip-consistent matching: a gt
+    identity keeps its first-matched query slot across the clip
+    (ClipMatcher, motr.py:36)."""
     from fastervit_tpu.detection.engine import pad_targets
     from fastervit_tpu.ops.boxes import hungarian_cost_matrix, hungarian_match
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     step = make_motr_clip_train_step(detector, tx, num_classes)
-    fwd = jax.jit(lambda p, bs, fr: [
+    fwd = jax.jit(lambda p, bs, fr, props: [
         jax.tree.map(jax.lax.stop_gradient, o)
-        for o in motr_clip_forward(detector, p, bs, fr)])
+        for o in motr_clip_forward(detector, p, bs, fr, proposals=props)])
     losses = []
-    for frames, targets_per_frame in clips:
+    for clip in clips:
+        frames, targets_per_frame = clip[0], clip[1]
+        proposals = jnp.asarray(clip[2]) if len(clip) > 2 and clip[2] is not \
+            None else None
         frames = jnp.asarray(frames)
         f, b = frames.shape[0], frames.shape[1]
-        outs = fwd(params, batch_stats, frames)
+        outs = fwd(params, batch_stats, frames, proposals)
         # clip-consistent assignment per image
         tgts = [pad_targets(tf, max_targets) for tf in targets_per_frame]
         assignment = np.full((f, b, max_targets), -1, np.int32)
@@ -302,7 +351,7 @@ def motr_clip_train_epoch(detector, variables, opt_state, tx, clips,
             jnp.asarray(np.stack([t["labels"] for t in tgts])),
             jnp.asarray(np.stack([t["boxes"] for t in tgts])),
             jnp.asarray(np.stack([t["mask"] for t in tgts])),
-            jnp.asarray(assignment))
+            jnp.asarray(assignment), proposals)
         losses.append(float(loss))
     return ({"params": params, "batch_stats": batch_stats}, opt_state,
             {"loss": float(np.mean(losses))})
