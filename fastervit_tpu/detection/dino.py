@@ -87,21 +87,36 @@ def build_dino_from_config(cfg, dtype=jnp.float32) -> DINODetector:
 # ------------- contrastive denoising (DINO CDN, dn_components) -----------------
 
 def prepare_cdn(rng, tgt_padded: Dict, num_classes: int, num_queries: int,
-                dn_groups: int = 5, label_noise_ratio: float = 0.5,
-                box_noise_scale: float = 1.0):
-    """Build denoising queries from padded gt (engine.pad_targets format).
+                dn_number: int = 100, label_noise_ratio: float = 0.5,
+                box_noise_scale: float = 1.0,
+                dn_groups: Optional[int] = None):
+    """Build denoising queries from padded gt (engine.pad_targets format) —
+    exact prepare_for_cdn semantics (reference dn_components.py:20-137):
 
-    Each group carries one positive (small box noise, regress to gt) and one
-    negative (larger noise, predict background) query per gt slot. Returns
-    (dn_inputs for the detector, dn_meta for cdn_loss): jit-friendly, all
-    shapes static in (B, T, groups).
+    - the group count adapts so total dn slots stay ~2*dn_number:
+      groups = dn_number // max_gt, computed here from the STATIC padded
+      target count so every step compiles once (dn_components.py:35-47);
+    - box noise jitters the xyxy CORNERS independently by
+      U[0,1) (+1 for negatives) * sign * (w/2, h/2) * scale, clamped to
+      [0, 1], then converts back to cxcywh (dn_components.py:75-92);
+    - label noise flips any dn label with prob ratio*0.5
+      (dn_components.py:63-67);
+    - the attention mask blinds matching queries to dn slots and dn groups
+      to each other, but dn CAN see the matching queries
+      (dn_components.py:113-124).
+
+    Each group carries one positive (regress to gt) and one negative
+    (background) query per gt slot; layout (B, G, 2, T), dn slots first.
     """
     labels, boxes, mask = (jnp.asarray(tgt_padded["labels"]),
                            jnp.asarray(tgt_padded["boxes"]),
                            jnp.asarray(tgt_padded["mask"]))
     b, t = labels.shape
-    g = dn_groups
-    r_lbl, r_flip, r_shift, r_neg = jax.random.split(rng, 4)
+    if dn_groups is None:
+        g = max(1, dn_number // max(t, 1))
+    else:
+        g = dn_groups
+    r_lbl, r_flip, r_sign, r_part = jax.random.split(rng, 4)
 
     # (B, G, 2, T): group-major, positive part then negative part
     lbl = jnp.tile(labels[:, None, None, :], (1, g, 2, 1))
@@ -111,25 +126,29 @@ def prepare_cdn(rng, tgt_padded: Dict, num_classes: int, num_queries: int,
     # invalid slots get the 'no object' embedding index
     lbl = jnp.where(mask[:, None, None, :], lbl, num_classes)
 
-    bx = jnp.tile(boxes[:, None, None, :, :], (1, g, 2, 1, 1))
-    wh = jnp.concatenate([bx[..., 2:] / 2, bx[..., 2:] / 2], -1)
-    shift = jax.random.uniform(r_shift, bx.shape, minval=-1.0, maxval=1.0)
-    neg_extra = jnp.sign(shift) * jax.random.uniform(r_neg, bx.shape,
-                                                     minval=1.0, maxval=2.0)
-    pos_noise = shift * wh * box_noise_scale
-    neg_noise = neg_extra * wh * box_noise_scale
-    noise = jnp.stack([pos_noise[:, :, 0], neg_noise[:, :, 1]], axis=2)
-    bx = jnp.clip(bx + noise, 1e-3, 1 - 1e-3)
+    bx = jnp.tile(boxes[:, None, None, :, :], (1, g, 2, 1, 1))  # (B,G,2,T,4)
+    xyxy = jnp.concatenate([bx[..., :2] - bx[..., 2:] / 2,
+                            bx[..., :2] + bx[..., 2:] / 2], -1)
+    diff = jnp.concatenate([bx[..., 2:] / 2, bx[..., 2:] / 2], -1)
+    sign = jax.random.randint(r_sign, bx.shape, 0, 2).astype(
+        jnp.float32) * 2.0 - 1.0
+    part = jax.random.uniform(r_part, bx.shape)
+    part = part.at[:, :, 1].add(1.0)          # negatives push further out
+    xyxy = jnp.clip(xyxy + sign * part * diff * box_noise_scale, 0.0, 1.0)
+    bx = jnp.concatenate([(xyxy[..., :2] + xyxy[..., 2:]) / 2,
+                          xyxy[..., 2:] - xyxy[..., :2]], -1)
+    bx = jnp.clip(bx, 1e-3, 1 - 1e-3)
 
     n_dn = g * 2 * t
     dn = {"labels": lbl.reshape(b, n_dn),
           "boxes": bx.reshape(b, n_dn, 4)}
 
-    # allow-mask: dn groups see only themselves; matching queries see only
-    # matching queries; everyone is blind to other groups
+    # allow-mask (True = may attend): matching queries cannot see dn; dn
+    # groups cannot see each other; dn CAN see matching queries
     q_total = n_dn + num_queries
     allow = np.zeros((q_total, q_total), bool)
     allow[n_dn:, n_dn:] = True
+    allow[:n_dn, n_dn:] = True
     gsz = 2 * t
     for gi in range(g):
         s0 = gi * gsz

@@ -126,11 +126,15 @@ def test_cdn_denoising_forward_and_loss():
                            num_queries=20, dn_groups=2)
     assert dn["labels"].shape == (2, 12) and dn["boxes"].shape == (2, 12, 4)
     assert dn["attn_mask"].shape == (32, 32)
-    # matching queries must not attend dn slots and vice versa
+    # matching queries must not attend dn slots; dn CAN see matching
+    # (reference dn_components.py:113-124)
     assert not np.asarray(dn["attn_mask"])[12:, :12].any()
-    assert not np.asarray(dn["attn_mask"])[:12, 12:].any()
+    assert np.asarray(dn["attn_mask"])[:12, 12:].all()
     # group 0 cannot see group 1
     assert not np.asarray(dn["attn_mask"])[:6, 6:12].any()
+    # dn boxes stay in [0, 1] after corner jitter
+    assert (np.asarray(dn["boxes"]) >= 0).all()
+    assert (np.asarray(dn["boxes"]) <= 1).all()
 
     v = det.init(jax.random.PRNGKey(0), x, dn=dn)
     out = det.apply(v, x, dn=dn)
@@ -206,3 +210,20 @@ def test_coco_eval_area_ignored_gt_not_counted():
              "labels": np.array([1]), "scores": np.array([0.9])}]
     res = evaluate_detections(pred, gt, full_breakdown=True)
     assert np.isnan(res["APs"]) and abs(res["APl"] - 1.0) < 1e-6
+
+
+def test_cdn_adaptive_groups():
+    """Group count adapts to keep ~dn_number total positive slots
+    (reference dn_components.py:35-47: dn_number // max_gt)."""
+    import jax
+    from fastervit_tpu.detection.dino import prepare_cdn
+    from fastervit_tpu.detection.engine import pad_targets
+
+    targets = [{"labels": np.array([1, 2]),
+                "boxes": np.array([[0.3, 0.3, 0.2, 0.2],
+                                   [0.6, 0.6, 0.2, 0.2]])}]
+    tgt = pad_targets(targets, max_targets=5)
+    dn, meta = prepare_cdn(jax.random.PRNGKey(0), tgt, num_classes=7,
+                           num_queries=20, dn_number=100)
+    assert meta["groups"] == 20            # 100 // 5 padded slots
+    assert meta["n_dn"] == 20 * 2 * 5
