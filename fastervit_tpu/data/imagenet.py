@@ -48,8 +48,16 @@ class EvalLoader:
     def __init__(self, root: str, cfg: DataConfig, batch_size: int,
                  num_workers: int = 16, process_index: int = 0,
                  process_count: int = 1, class_to_idx: Optional[dict] = None,
-                 tta: int = 0):
-        paths, labels, self.classes = index_image_folder(root)
+                 tta: int = 0, use_lmdb: bool = False):
+        if use_lmdb:
+            # LMDB-backed ImageNet (reference utils/datasets.py:458-498)
+            from fastervit_tpu.data.lmdb_dataset import (LmdbImageReader,
+                                                         load_lmdb_index)
+            paths, labels, self.classes = load_lmdb_index(root)
+            self.reader = LmdbImageReader(root)
+        else:
+            paths, labels, self.classes = index_image_folder(root)
+            self.reader = None
         if class_to_idx is not None:
             remap = np.asarray([class_to_idx[c] for c in self.classes])
             labels = remap[np.asarray(labels)]
@@ -72,7 +80,9 @@ class EvalLoader:
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(self.paths), per_batch):
                 chunk = self.paths[start:start + per_batch]
-                imgs = list(pool.map(lambda p: eval_transform(p, self.cfg), chunk))
+                src = (chunk if self.reader is None
+                       else [self.reader.read(p) for p in chunk])
+                imgs = list(pool.map(lambda p: eval_transform(p, self.cfg), src))
                 if factor == 2:
                     imgs = [im for x in imgs for im in (x, x[:, ::-1])]
                 n = len(imgs)

@@ -78,8 +78,17 @@ class TrainLoader:
                  aa: Optional[str] = "rand-m9-mstd0.5-inc1",
                  hflip: float = 0.5, reprob: float = 0.25,
                  num_workers: int = 16, seed: int = 42,
-                 process_index: int = 0, process_count: int = 1):
-        paths, labels, self.classes = index_image_folder(root)
+                 process_index: int = 0, process_count: int = 1,
+                 use_lmdb: bool = False):
+        if use_lmdb:
+            # LMDB-backed ImageNet (reference utils/datasets.py:458-498)
+            from fastervit_tpu.data.lmdb_dataset import (LmdbImageReader,
+                                                         load_lmdb_index)
+            paths, labels, self.classes = load_lmdb_index(root)
+            self.reader = LmdbImageReader(root)
+        else:
+            paths, labels, self.classes = index_image_folder(root)
+            self.reader = None
         self.paths = paths[process_index::process_count]
         self.labels = np.asarray(labels[process_index::process_count], np.int32)
         self.cfg = cfg
@@ -99,7 +108,7 @@ class TrainLoader:
 
     def _load_one(self, path: str, seed: int) -> np.ndarray:
         rng = random.Random(seed)
-        img = load_image(path)
+        img = load_image(self.reader.read(path) if self.reader else path)
         img = random_resized_crop(img, self.cfg.input_size, rng)
         if rng.random() < self.hflip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)

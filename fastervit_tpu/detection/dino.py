@@ -37,12 +37,17 @@ class DINODetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images, training: bool = False, dn=None):
+    def __call__(self, images, training: bool = False, dn=None,
+                 pad_mask=None):
+        """images: (B, H, W, 3); pad_mask: optional (B, H, W) bool, True at
+        zero-padded pixels (NestedTensor mask). The mask downsamples per
+        pyramid level (reference dino.py:250-262 F.interpolate-to-bool) and
+        drives the transformer's valid-ratio path."""
         feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
                                  name="backbone")(images, training=training)
         keys = sorted(feats)  # res2..res5
         keys = keys[-self.num_feature_levels:]
-        srcs, shapes = [], []
+        srcs, shapes, masks = [], [], []
         for i, kname in enumerate(keys):
             f = feats[kname]
             x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
@@ -52,12 +57,18 @@ class DINODetector(nn.Module):
             b, h, w, _ = x.shape
             shapes.append((h, w))
             srcs.append(x.reshape(b, h * w, self.dim))
+            if pad_mask is not None:
+                m = jax.image.resize(pad_mask.astype(jnp.float32),
+                                     (b, h, w), "nearest") > 0.5
+                masks.append(m.reshape(b, h * w))
         src = jnp.concatenate(srcs, axis=1)
+        flat_mask = jnp.concatenate(masks, axis=1) if masks else None
         out = DeformableTransformer(
             dim=self.dim, num_queries=self.num_queries,
             num_classes=self.num_classes, enc_layers=self.enc_layers,
             dec_layers=self.dec_layers, dtype=self.dtype,
             name="transformer")(src, tuple(shapes),
+                                padding_mask=flat_mask,
                                 deterministic=not training,
                                 dn_labels=dn["labels"] if dn else None,
                                 dn_boxes=dn["boxes"] if dn else None,

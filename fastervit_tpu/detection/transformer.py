@@ -113,6 +113,79 @@ def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]):
                        jnp.float32)
 
 
+def _level_masks(padding_mask: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int]]):
+    """(B, S) flattened -> per-level (B, h, w) bool masks (True = padded)."""
+    b = padding_mask.shape[0]
+    out, start = [], 0
+    for h, w in spatial_shapes:
+        out.append(padding_mask[:, start:start + h * w].reshape(b, h, w))
+        start += h * w
+    return out
+
+
+def valid_ratios_from_mask(padding_mask: jnp.ndarray,
+                           spatial_shapes: Sequence[Tuple[int, int]]):
+    """get_valid_ratio per level (deformable_transformer.py:252-259):
+    (B, S) -> (B, L, 2) as (ratio_w, ratio_h)."""
+    out = []
+    for m in _level_masks(padding_mask, spatial_shapes):
+        not_m = ~m
+        h, w = m.shape[1], m.shape[2]
+        valid_h = jnp.sum(not_m[:, :, 0].astype(jnp.float32), 1)
+        valid_w = jnp.sum(not_m[:, 0, :].astype(jnp.float32), 1)
+        out.append(jnp.stack([valid_w / w, valid_h / h], -1))
+    return jnp.stack(out, 1)                            # (B, L, 2)
+
+
+def encoder_reference_points_masked(spatial_shapes, valid_ratios):
+    """get_reference_points with true valid ratios
+    (deformable_transformer.py:489-503): (B, S, L, 2)."""
+    pts = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        y, x = np.meshgrid(np.arange(h, dtype=np.float32) + 0.5,
+                           np.arange(w, dtype=np.float32) + 0.5,
+                           indexing="ij")
+        grid = jnp.asarray(np.stack([x.ravel(), y.ravel()], -1))   # (hw, 2)
+        scale = valid_ratios[:, None, lvl] * jnp.asarray([w, h],
+                                                         jnp.float32)
+        pts.append(grid[None] / scale)                  # (B, hw, 2)
+    ref = jnp.concatenate(pts, 1)                       # (B, S, 2)
+    return ref[:, :, None, :] * valid_ratios[:, None]   # (B, S, L, 2)
+
+
+def position_embedding_sine_hw_masked(padding_mask, spatial_shapes,
+                                      num_pos_feats: int = 128,
+                                      temperature_h: float = 20.0,
+                                      temperature_w: float = 20.0):
+    """PositionEmbeddingSineHW from the real padding mask (cumsum-normalized,
+    position_encoding.py:81-135): (B, S) -> (B, S, 2*num_pos_feats)."""
+    eps = 1e-6
+    scale = 2 * math.pi
+    dim_ty = jnp.asarray(temperature_h ** (2 * (np.arange(num_pos_feats) // 2)
+                                           / num_pos_feats), jnp.float32)
+    dim_tx = jnp.asarray(temperature_w ** (2 * (np.arange(num_pos_feats) // 2)
+                                           / num_pos_feats), jnp.float32)
+
+    def interleave(p):
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         -1).reshape(*p.shape[:-1], num_pos_feats)
+
+    out = []
+    for m in _level_masks(padding_mask, spatial_shapes):
+        nm = (~m).astype(jnp.float32)
+        b, h, w = nm.shape
+        y = jnp.cumsum(nm, 1)
+        x = jnp.cumsum(nm, 2)
+        y = y / (y[:, -1:, :] + eps) * scale
+        x = x / (x[:, :, -1:] + eps) * scale
+        py = interleave(y[..., None] / dim_ty)          # (B, h, w, F)
+        px = interleave(x[..., None] / dim_tx)
+        out.append(jnp.concatenate([py, px], -1).reshape(b, h * w,
+                                                         2 * num_pos_feats))
+    return jnp.concatenate(out, 1)
+
+
 def output_proposals(spatial_shapes: Sequence[Tuple[int, int]]):
     """gen_encoder_output_proposals anchors (utils.py:34-65), unpadded:
     returns (proposals_logit (S, 4) with +inf at invalid rows, valid (S,)
@@ -129,6 +202,30 @@ def output_proposals(spatial_shapes: Sequence[Tuple[int, int]]):
     logit = np.log(p / (1 - p))
     logit[~valid] = np.inf
     return logit.astype(np.float32), valid
+
+
+def output_proposals_masked(padding_mask, spatial_shapes, valid_ratios):
+    """gen_encoder_output_proposals with a real padding mask
+    (utils.py:34-76): grid centers over the VALID extent, +inf logits at
+    padded/out-of-range positions. Returns (logit (B, S, 4), valid (B, S))."""
+    b = padding_mask.shape[0]
+    props = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        grid = jnp.asarray(np.stack([gx.ravel() + 0.5, gy.ravel() + 0.5],
+                                    -1))                        # (hw, 2)
+        scale = valid_ratios[:, None, lvl] * jnp.asarray([w, h],
+                                                         jnp.float32)
+        grid = grid[None] / scale                               # (B, hw, 2)
+        wh = jnp.full((b, h * w, 2), 0.05 * (2.0 ** lvl))
+        props.append(jnp.concatenate([grid, wh], -1))
+    p = jnp.concatenate(props, 1)                               # (B, S, 4)
+    in_range = ((p > 0.01) & (p < 0.99)).all(-1)
+    valid = in_range & ~padding_mask
+    logit = jnp.log(p / (1 - p))
+    logit = jnp.where(valid[..., None], logit, jnp.inf)
+    return logit, valid
 
 
 class FFN(nn.Module):
@@ -192,8 +289,11 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, query_pos, ref_boxes, memory, spatial_shapes,
+    def __call__(self, tgt, query_pos, ref_input, memory, spatial_shapes,
                  padding_mask=None, deterministic=True, self_attn_mask=None):
+        """ref_input: per-level reference boxes (B, Q, L, 4) — the box itself
+        at every level when unpadded, valid-ratio-scaled otherwise
+        (deformable_transformer.py:704-710)."""
         q = tgt + query_pos
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype, name="self_attn")(
@@ -201,13 +301,10 @@ class DecoderLayer(nn.Module):
             mask=self_attn_mask[None, None] if self_attn_mask is not None
             else None)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + sa)
-        # cross-attention samples around the current boxes (4d refs,
-        # valid_ratios == 1 so the per-level ref is the box itself)
-        ref = ref_boxes[:, :, None, :].repeat(self.n_levels, 2)  # (B,Q,L,4)
         ca = MSDeformAttnModule(self.dim, self.n_levels, self.n_heads,
                                 self.n_points, dtype=self.dtype,
                                 name="cross_attn")(
-            tgt + query_pos, ref, memory, spatial_shapes, padding_mask)
+            tgt + query_pos, ref_input, memory, spatial_shapes, padding_mask)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + ca)
         return FFN(self.dim, self.ffn_dim, self.dropout, self.dtype,
                    name="ffn")(tgt, deterministic)
@@ -278,14 +375,25 @@ class DeformableTransformer(nn.Module):
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (n_levels, self.dim))
         # positional encoding: SineHW(temperature 20) + level embed
-        # (deformable_transformer.py:280-292)
-        ref_pts = encoder_reference_points(spatial_shapes)       # (S, L, 2)
-        pos = jnp.asarray(position_embedding_sine_hw(
-            spatial_shapes, self.dim // 2))                       # (S, C)
+        # (deformable_transformer.py:280-292). With a padding mask, the
+        # embedding and reference points follow the per-image valid extents
+        # (valid_ratios); unpadded inputs use precomputed constants.
+        if padding_mask is not None:
+            valid_ratios = valid_ratios_from_mask(padding_mask,
+                                                  spatial_shapes)  # (B,L,2)
+            ref_pts = encoder_reference_points_masked(
+                spatial_shapes, valid_ratios)                    # (B,S,L,2)
+            pos = position_embedding_sine_hw_masked(
+                padding_mask, spatial_shapes, self.dim // 2)     # (B,S,C)
+        else:
+            valid_ratios = None
+            ref_pts = encoder_reference_points(spatial_shapes)   # (S, L, 2)
+            pos = jnp.asarray(position_embedding_sine_hw(
+                spatial_shapes, self.dim // 2))[None]            # (1, S, C)
         lvl = jnp.concatenate([
             jnp.tile(level_embed[i][None], (h * w, 1))
             for i, (h, w) in enumerate(spatial_shapes)], 0)
-        pos = (pos + lvl)[None].astype(self.dtype)
+        pos = (pos + lvl[None]).astype(self.dtype)
 
         memory = srcs
         for i in range(self.enc_layers):
@@ -297,8 +405,14 @@ class DeformableTransformer(nn.Module):
 
         # --- two-stage: gen_encoder_output_proposals + enc_output projection
         # (deformable_transformer.py:329-371) -------------------------------
-        proposals_logit, valid = output_proposals(spatial_shapes)
-        out_memory = memory * jnp.asarray(valid, memory.dtype)[None, :, None]
+        if padding_mask is not None:
+            proposals_logit, valid = output_proposals_masked(
+                padding_mask, spatial_shapes, valid_ratios)
+            out_memory = memory * valid[..., None].astype(memory.dtype)
+        else:
+            proposals_logit, valid = output_proposals(spatial_shapes)
+            out_memory = memory * jnp.asarray(valid,
+                                              memory.dtype)[None, :, None]
         out_memory = nn.Dense(self.dim, dtype=self.dtype,
                               name="enc_output")(out_memory)
         out_memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -310,7 +424,9 @@ class DeformableTransformer(nn.Module):
         enc_delta = MLPHead(self.dim, 4, dtype=self.dtype,
                             zero_init_last=True,
                             name="enc_out_bbox_embed")(out_memory)
-        enc_unsig = enc_delta + jnp.asarray(proposals_logit)[None]  # (B,S,4)
+        proposals_b = (jnp.asarray(proposals_logit)[None]
+                       if proposals_logit.ndim == 2 else proposals_logit)
+        enc_unsig = enc_delta + proposals_b                      # (B, S, 4)
 
         k = min(self.num_queries, s)
         scores = jnp.max(enc_logits, axis=-1)                    # (B, S)
@@ -319,7 +435,7 @@ class DeformableTransformer(nn.Module):
             enc_unsig, topk[..., None], axis=1)                  # unsigmoid
         ref_boxes = jax.nn.sigmoid(jax.lax.stop_gradient(ref_undetach))
         init_proposals = jax.nn.sigmoid(jnp.take_along_axis(
-            jnp.tile(jnp.asarray(proposals_logit)[None], (b, 1, 1)),
+            jnp.broadcast_to(proposals_b, (b, s, 4)),
             topk[..., None], axis=1))
         tgt_undetach = jnp.take_along_axis(
             out_memory, topk[..., None], axis=1)                 # (B, k, C)
@@ -379,11 +495,20 @@ class DeformableTransformer(nn.Module):
         # reference decoder, deformable_transformer.py:784-788)
         report_ref = ref_boxes
         for i in range(self.dec_layers):
-            qp = ref_point_head(gen_sineembed(ref_boxes, self.dim // 2))
+            # per-level reference input, valid-ratio-scaled under padding
+            # (deformable_transformer.py:704-710); the query sine embed uses
+            # the level-0 scaled reference (line 711)
+            if valid_ratios is not None:
+                vr4 = jnp.concatenate([valid_ratios, valid_ratios], -1)
+                ref_input = ref_boxes[:, :, None, :] * vr4[:, None]
+            else:
+                ref_input = jnp.repeat(ref_boxes[:, :, None, :], n_levels, 2)
+            qp = ref_point_head(gen_sineembed(ref_input[:, :, 0],
+                                              self.dim // 2))
             tgt = DecoderLayer(self.dim, self.n_heads, self.n_points,
                                n_levels, self.ffn_dim, self.dropout,
                                self.dtype, name=f"decoder_{i}")(
-                tgt, qp, ref_boxes, memory, spatial_shapes, padding_mask,
+                tgt, qp, ref_input, memory, spatial_shapes, padding_mask,
                 deterministic, self_attn_mask=dn_attn_mask)
             hidden = dec_norm(tgt)
             # internal refinement on the unnormed output

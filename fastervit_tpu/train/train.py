@@ -38,6 +38,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--config", default="", help="YAML config with defaults")
     p.add_argument("--model", default="faster_vit_0_224")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--lmdb-dataset", action="store_true",
+                   help="LMDB-backed ImageNet (reference --lmdb_dataset, utils/datasets.py:458-498)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("-b", "--batch-size", type=int, default=128,
@@ -107,9 +109,10 @@ def _make_loaders(args, data_cfg):
     from fastervit_tpu.data.imagenet import EvalLoader
     from fastervit_tpu.data.train_loader import TrainLoader
     train_loader = TrainLoader(os.path.join(args.data_dir, "train"), data_cfg,
-                               args.batch_size, seed=args.seed)
+                               args.batch_size, seed=args.seed,
+                               use_lmdb=args.lmdb_dataset)
     eval_loader = EvalLoader(os.path.join(args.data_dir, "val"), data_cfg,
-                             args.batch_size)
+                             args.batch_size, use_lmdb=args.lmdb_dataset)
     return train_loader, eval_loader
 
 

@@ -144,6 +144,7 @@ def main(argv=None):
     p.add_argument("--model", default="faster_vit_0_224",
                    help="name or fnmatch wildcard for bulk validation")
     p.add_argument("--data-dir", required=False, default=None)
+    p.add_argument("--lmdb-dataset", action="store_true")
     p.add_argument("--checkpoint", default="",
                    help="reference .pth.tar to convert, or orbax dir")
     p.add_argument("--use-ema", action="store_true")
@@ -183,7 +184,8 @@ def main(argv=None):
                 logit_mask, class_to_idx = subset_logit_mask(
                     classes, args.class_index_file, model.cfg.num_classes)
             make_loader = lambda bs: EvalLoader(args.data_dir, model.cfg.data,
-                                                bs, class_to_idx=class_to_idx)
+                                                bs, class_to_idx=class_to_idx,
+                                                use_lmdb=args.lmdb_dataset)
         res = validate_with_batch_decay(make_loader, model, variables,
                                         args.batch_size, logit_mask=logit_mask)
         res["model"] = name

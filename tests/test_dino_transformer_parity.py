@@ -145,3 +145,73 @@ def test_decoder_boxes_logits_match(parity_setup):
     for lid in range(DEC):
         _close(jj["logits"][lid], tt["logits"][lid], tol=5e-4)
         _close(jj["boxes"][lid], tt["boxes"][lid], tol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def masked_parity_setup():
+    """Same oracle comparison but with real padding masks (valid-ratio
+    path): rectangular per-level masks as a downsampled image mask would
+    produce."""
+    t = _build_reference()
+    rng = np.random.RandomState(3)
+    srcs = [torch.tensor(rng.randn(B, DIM, h, w), dtype=torch.float32)
+            for h, w in SHAPES]
+    # image 0 fully valid; image 1 padded on the right/bottom
+    valid = [[(h, w) for h, w in SHAPES],
+             [(max(1, h - 2), max(1, w - 3)) for h, w in SHAPES]]
+    masks = []
+    for li, (h, w) in enumerate(SHAPES):
+        m = torch.ones(B, h, w, dtype=torch.bool)
+        for bi in range(B):
+            vh, vw = valid[bi][li]
+            m[bi, :vh, :vw] = False
+        masks.append(m)
+    poss = _pos_embeds(masks)
+    with torch.no_grad():
+        hs, references, hs_enc, ref_enc, init_box_proposal = t(
+            srcs, masks, None, poss, None, None)
+    from util.misc import inverse_sigmoid as t_inverse_sigmoid
+    with torch.no_grad():
+        ref_boxes, ref_logits = [], []
+        for lid in range(DEC):
+            delta = t.decoder.bbox_embed[lid](hs[lid])
+            unsig = delta + t_inverse_sigmoid(references[lid])
+            ref_boxes.append(unsig.sigmoid())
+            ref_logits.append(t.decoder.class_embed[lid](hs[lid]))
+
+    model = DeformableTransformer(
+        dim=DIM, n_heads=HEADS, n_points=POINTS, enc_layers=ENC,
+        dec_layers=DEC, ffn_dim=FFN, num_queries=NQ, num_classes=NCLS)
+    src_flat = jnp.concatenate(
+        [jnp.asarray(s.numpy()).transpose(0, 2, 3, 1).reshape(B, -1, DIM)
+         for s in srcs], axis=1)
+    mask_flat = jnp.concatenate(
+        [jnp.asarray(m.numpy()).reshape(B, -1) for m in masks], axis=1)
+    variables = model.init(jax.random.PRNGKey(0), src_flat, SHAPES,
+                           padding_mask=mask_flat)
+    sd = t.state_dict()
+    sd = {("transformer." + k if not k.startswith(("bbox_embed",
+                                                   "class_embed"))
+           else k): v for k, v in sd.items()}
+    wrapped = {"params": {"transformer": variables["params"]}}
+    converted = convert_dino_state_dict(sd, wrapped)
+    out = model.apply({"params": converted["params"]["transformer"]},
+                      src_flat, SHAPES, padding_mask=mask_flat)
+    return {"torch": {"hs": hs, "boxes": ref_boxes, "logits": ref_logits,
+                      "hs_enc": hs_enc, "ref_enc": ref_enc, "t": t},
+            "jax": out}
+
+
+def test_masked_decoder_outputs_match(masked_parity_setup):
+    tt, jj = masked_parity_setup["torch"], masked_parity_setup["jax"]
+    for lid in range(DEC):
+        _close(jj["hidden"][lid], tt["hs"][lid], tol=1e-3)
+        _close(jj["logits"][lid], tt["logits"][lid], tol=1e-3)
+        _close(jj["boxes"][lid], tt["boxes"][lid], tol=1e-3)
+
+
+def test_masked_interm_outputs_match(masked_parity_setup):
+    tt, jj = masked_parity_setup["torch"], masked_parity_setup["jax"]
+    interm_class = tt["t"].enc_out_class_embed(tt["hs_enc"][-1])
+    _close(jj["interm_logits"], interm_class, tol=1e-3)
+    _close(jj["interm_boxes"], tt["ref_enc"][-1], tol=1e-3)
