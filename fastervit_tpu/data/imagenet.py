@@ -48,7 +48,8 @@ class EvalLoader:
     def __init__(self, root: str, cfg: DataConfig, batch_size: int,
                  num_workers: int = 16, process_index: int = 0,
                  process_count: int = 1, class_to_idx: Optional[dict] = None,
-                 tta: int = 0, use_lmdb: bool = False):
+                 tta: int = 0, use_lmdb: bool = False,
+                 use_native: str = "auto"):
         if use_lmdb:
             # LMDB-backed ImageNet (reference utils/datasets.py:458-498)
             from fastervit_tpu.data.lmdb_dataset import (LmdbImageReader,
@@ -69,9 +70,36 @@ class EvalLoader:
         if tta not in (0, 1, 2):
             raise ValueError("tta oversampling supports factor 2 (orig+hflip)")
         self.tta = tta
+        if use_native == "auto":
+            from fastervit_tpu.data import native
+            self.use_native = native.available()
+        else:
+            self.use_native = bool(use_native)
 
     def __len__(self):
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
+
+    def _native_chunk(self, chunk) -> list:
+        """Decode+resize+crop+normalize a chunk through the native (C++)
+        batch runtime; per-image fallback to the PIL path for images the
+        native decoder declines (non-JPEG, CMYK)."""
+        from fastervit_tpu.data import native
+        if self.reader is not None:
+            bufs = [self.reader.read_bytes(p) for p in chunk]
+        else:
+            bufs = []
+            for p in chunk:
+                with open(p, "rb") as f:
+                    bufs.append(f.read())
+        h, w = self.cfg.input_size
+        out, ok = native.eval_batch(
+            bufs, (h, w), self.cfg.crop_pct, self.cfg.crop_mode == "squash",
+            self.cfg.mean, self.cfg.std, num_threads=self.num_workers)
+        imgs = list(out)
+        for i in np.nonzero(~ok)[0]:
+            src = self.reader.read(chunk[i]) if self.reader else chunk[i]
+            imgs[i] = eval_transform(src, self.cfg)
+        return imgs
 
     def __iter__(self) -> Iterator[dict]:
         h, w = self.cfg.input_size
@@ -80,9 +108,13 @@ class EvalLoader:
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(self.paths), per_batch):
                 chunk = self.paths[start:start + per_batch]
-                src = (chunk if self.reader is None
-                       else [self.reader.read(p) for p in chunk])
-                imgs = list(pool.map(lambda p: eval_transform(p, self.cfg), src))
+                if self.use_native:
+                    imgs = self._native_chunk(chunk)
+                else:
+                    src = (chunk if self.reader is None
+                           else [self.reader.read(p) for p in chunk])
+                    imgs = list(pool.map(lambda p: eval_transform(p, self.cfg),
+                                         src))
                 if factor == 2:
                     imgs = [im for x in imgs for im in (x, x[:, ::-1])]
                 n = len(imgs)

@@ -93,14 +93,17 @@ class LmdbImageReader:
         self.env = lmdb.open(lmdb_path, readonly=True, max_readers=1,
                              lock=False, readahead=False, meminit=False)
 
-    def read(self, path: str):
-        from PIL import Image
-
+    def read_bytes(self, path: str) -> bytes:
         with self.env.begin(write=False, buffers=True) as txn:
             data = txn.get(path.encode("ascii"))
         if data is None:
             raise KeyError(path)
-        return Image.open(io.BytesIO(bytes(data))).convert("RGB")
+        return bytes(data)
+
+    def read(self, path: str):
+        from PIL import Image
+
+        return Image.open(io.BytesIO(self.read_bytes(path))).convert("RGB")
 
     def close(self):
         self.env.close()

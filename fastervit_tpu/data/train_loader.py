@@ -18,10 +18,9 @@ from fastervit_tpu.data.randaugment import create_randaugment
 from fastervit_tpu.models.config import DataConfig
 
 
-def random_resized_crop(img: Image.Image, size, rng: random.Random,
-                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
-    """torchvision RandomResizedCrop semantics (bicubic)."""
-    w, h = img.size
+def rrc_box(w: int, h: int, rng: random.Random, scale=(0.08, 1.0),
+            ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop box selection -> (x0, y0, x1, y1)."""
     area = w * h
     for _ in range(10):
         target = rng.uniform(*scale) * area
@@ -32,8 +31,7 @@ def random_resized_crop(img: Image.Image, size, rng: random.Random,
         if 0 < cw <= w and 0 < ch <= h:
             x = rng.randint(0, w - cw)
             y = rng.randint(0, h - ch)
-            return img.resize(size[::-1], Image.BICUBIC,
-                              box=(x, y, x + cw, y + ch))
+            return (x, y, x + cw, y + ch)
     # fallback: center crop
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -43,7 +41,15 @@ def random_resized_crop(img: Image.Image, size, rng: random.Random,
     else:
         cw, ch = w, h
     x, y = (w - cw) // 2, (h - ch) // 2
-    return img.resize(size[::-1], Image.BICUBIC, box=(x, y, x + cw, y + ch))
+    return (x, y, x + cw, y + ch)
+
+
+def random_resized_crop(img: Image.Image, size, rng: random.Random,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop semantics (bicubic)."""
+    w, h = img.size
+    return img.resize(size[::-1], Image.BICUBIC,
+                      box=rrc_box(w, h, rng, scale, ratio))
 
 
 def random_erasing(x: np.ndarray, rng: random.Random, prob=0.25,
@@ -79,7 +85,7 @@ class TrainLoader:
                  hflip: float = 0.5, reprob: float = 0.25,
                  num_workers: int = 16, seed: int = 42,
                  process_index: int = 0, process_count: int = 1,
-                 use_lmdb: bool = False):
+                 use_lmdb: bool = False, use_native: str = "auto"):
         if use_lmdb:
             # LMDB-backed ImageNet (reference utils/datasets.py:458-498)
             from fastervit_tpu.data.lmdb_dataset import (LmdbImageReader,
@@ -99,6 +105,11 @@ class TrainLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.epoch = 0
+        if use_native == "auto":
+            from fastervit_tpu.data import native
+            self.use_native = native.available()
+        else:
+            self.use_native = bool(use_native)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -106,18 +117,60 @@ class TrainLoader:
     def __len__(self):
         return len(self.paths) // self.batch_size
 
-    def _load_one(self, path: str, seed: int) -> np.ndarray:
-        rng = random.Random(seed)
-        img = load_image(self.reader.read(path) if self.reader else path)
-        img = random_resized_crop(img, self.cfg.input_size, rng)
-        if rng.random() < self.hflip:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    def _read_bytes(self, path: str) -> bytes:
+        if self.reader is not None:
+            return self.reader.read_bytes(path)
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _finish_one(self, u8_img: np.ndarray, rng: random.Random) -> np.ndarray:
+        """Post-RRC augmentation shared by both paths: RandAugment, normalize,
+        RandomErasing — consuming `rng` in the same order as _load_one."""
+        img = Image.fromarray(u8_img)
         if self.aa_spec:
             img = create_randaugment(self.aa_spec, seed=rng.randint(0, 2 ** 31))(img)
         x = normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
         if self.reprob > 0:
             x = random_erasing(x, rng, prob=self.reprob)
         return x
+
+    def _load_one(self, path: str, seed: int) -> np.ndarray:
+        rng = random.Random(seed)
+        img = load_image(self.reader.read(path) if self.reader else path)
+        img = random_resized_crop(img, self.cfg.input_size, rng)
+        if rng.random() < self.hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return self._finish_one(np.asarray(img), rng)
+
+    def _native_batch(self, paths, seeds) -> list:
+        """Batched native path: decode + RRC + hflip in C++ (identical rng
+        draw order as _load_one, so both paths produce identical batches —
+        tested in tests/test_native_loader.py); RandAugment/erasing follow
+        in Python. Per-image fallback to the PIL path on decode failure."""
+        from fastervit_tpu.data import native
+        bufs = [self._read_bytes(p) for p in paths]
+        rngs = [random.Random(s) for s in seeds]
+        n = len(bufs)
+        boxes = np.zeros((n, 4), np.float64)
+        flips = np.zeros((n,), np.uint8)
+        bad = []
+        for i, (buf, rng) in enumerate(zip(bufs, rngs)):
+            dims = native.jpeg_dims(buf)
+            if dims is None:
+                bad.append(i)
+                continue
+            w, h = dims
+            boxes[i] = rrc_box(w, h, rng)
+            flips[i] = rng.random() < self.hflip
+        u8, ok = native.rrc_batch(bufs, self.cfg.input_size, boxes, flips,
+                                  num_threads=self.num_workers)
+        out = []
+        for i in range(n):
+            if i in bad or not ok[i]:
+                out.append(self._load_one(paths[i], seeds[i]))
+            else:
+                out.append(self._finish_one(u8[i], rngs[i]))
+        return out
 
     def __iter__(self):
         order = np.random.RandomState(self.seed + self.epoch).permutation(
@@ -128,8 +181,11 @@ class TrainLoader:
                 idx = order[start:start + self.batch_size]
                 seeds = [self.seed * 1_000_003 + self.epoch * 97 + int(i)
                          for i in idx]
-                imgs = list(pool.map(self._load_one,
-                                     [self.paths[i] for i in idx], seeds))
+                batch_paths = [self.paths[i] for i in idx]
+                if self.use_native:
+                    imgs = self._native_batch(batch_paths, seeds)
+                else:
+                    imgs = list(pool.map(self._load_one, batch_paths, seeds))
                 yield {"image": np.stack(imgs),
                        "label": self.labels[idx],
                        "valid": np.ones((self.batch_size,), bool)}
