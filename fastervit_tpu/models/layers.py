@@ -467,15 +467,28 @@ class HAT(nn.Module):
         through the fully-fused Pallas block when eligible (deterministic, no
         attention/proj dropout, weights fit VMEM, pallas backend)."""
         from fastervit_tpu.ops.pallas_hat_block import (fused_block_supported,
-                                                        fused_hat_block)
+                                                        fused_hat_block,
+                                                        fused_hat_block_dp)
         n1, attn_name, n2, mlp_name = names
         mlp_hidden = int(self.dim * self.mlp_ratio)
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         impl = attention_ops._resolve_impl(self.attn_impl, can_fuse=True)
-        use_fused = (impl == "pallas" and deterministic
+        # the fused block covers training too: DropPath becomes per-row
+        # residual-branch scales fed to the kernel (dropout rates are 0.0
+        # throughout the family's recipes, so only drop_path matters)
+        use_fused = (impl == "pallas"
                      and self.drop == 0.0 and self.attn_drop == 0.0)
         if use_fused:
+            dp1 = dp2 = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rng1, rng2 = jax.random.split(self.make_rng("dropout"))
+                b = x.shape[0]
+                dp1 = jax.random.bernoulli(rng1, keep, (b,)).astype(
+                    jnp.float32) / keep
+                dp2 = jax.random.bernoulli(rng2, keep, (b,)).astype(
+                    jnp.float32) / keep
             (qkv_w, qkv_b), (proj_w, proj_b), bias = _AttnParams(
                 self.dim, self.num_heads, resolution, seq_length,
                 self.qkv_bias, dtype=self.dtype, name=attn_name)()
@@ -497,6 +510,9 @@ class HAT(nn.Module):
             }
             if fused_block_supported(x.shape, params):
                 interpret = not attention_ops._on_tpu()
+                if dp1 is not None:
+                    return fused_hat_block_dp(x, params, bias, dp1, dp2,
+                                              self.num_heads, scale, interpret)
                 return fused_hat_block(x, params, bias, self.num_heads,
                                        scale, interpret)
             # VMEM overflow (large-C stages of fv3+): composed math but the
@@ -504,7 +520,8 @@ class HAT(nn.Module):
             from fastervit_tpu.ops.pallas_hat_block import hat_block_reference
             return hat_block_reference(x, params, bias, self.num_heads, scale,
                                        attn_impl="pallas"
-                                       if attention_ops._on_tpu() else "jnp")
+                                       if attention_ops._on_tpu() else "jnp",
+                                       dp1=dp1, dp2=dp2)
         attn_out = WindowAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,

@@ -60,7 +60,8 @@ def _gelu(x):
 def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
                       projw_ref, projb_ref, g3_ref, ln2s_ref, ln2b_ref,
                       fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, g4_ref, out_ref,
-                      *, num_heads: int, scale: float):
+                      *, num_heads: int, scale: float,
+                      dp1_ref=None, dp2_ref=None):
     tb, s, c = x_ref.shape
     hd = c // num_heads
     cdt = x_ref.dtype
@@ -95,7 +96,10 @@ def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
         ctx.reshape(tb * s, c), projw_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + projb_ref[:].astype(jnp.float32)
-    x32 = x32 + g3_ref[:].astype(jnp.float32) * proj.reshape(tb, s, c)
+    attn_delta = g3_ref[:].astype(jnp.float32) * proj.reshape(tb, s, c)
+    if dp1_ref is not None:
+        attn_delta = attn_delta * dp1_ref[:]        # (TB, S, 1) broadcast
+    x32 = x32 + attn_delta
 
     # --- MLP branch -------------------------------------------------------------
     y = _ln(x32, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32))
@@ -107,16 +111,35 @@ def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
     h2 = jax.lax.dot_general(
         h1, fc2w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + fc2b_ref[:].astype(jnp.float32)
-    x32 = x32 + g4_ref[:].astype(jnp.float32) * h2.reshape(tb, s, c)
+    mlp_delta = g4_ref[:].astype(jnp.float32) * h2.reshape(tb, s, c)
+    if dp2_ref is not None:
+        mlp_delta = mlp_delta * dp2_ref[:]          # (TB, S, 1) broadcast
+    x32 = x32 + mlp_delta
 
     out_ref[:] = x32.astype(out_ref.dtype)
 
 
+def _hat_block_kernel_dp(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
+                         bias_ref, projw_ref, projb_ref, g3_ref, ln2s_ref,
+                         ln2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+                         g4_ref, dp1_ref, dp2_ref, out_ref, *, num_heads: int,
+                         scale: float):
+    """Variant with per-token residual-branch scales (DropPath masks expanded
+    over packed windows), so the fused block also serves stochastic-depth
+    training (reference timm DropPath applied at faster_vit.py:690-691)."""
+    _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
+                      projw_ref, projb_ref, g3_ref, ln2s_ref, ln2b_ref,
+                      fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, g4_ref, out_ref,
+                      num_heads=num_heads, scale=scale, dp1_ref=dp1_ref,
+                      dp2_ref=dp2_ref)
+
+
 def hat_block_reference(x, params, bias, num_heads: int, scale: float,
-                        attn_impl: str = "jnp"):
+                        attn_impl: str = "jnp", dp1=None, dp2=None):
     """jnp composition with identical semantics (VJP + tests); with
     attn_impl='pallas' it is the VMEM-overflow fallback that still routes the
-    attention itself through the packed Pallas kernel."""
+    attention itself through the packed Pallas kernel. dp1/dp2: optional
+    per-row (B,) residual-branch scales (DropPath masks / keep_prob)."""
     x32 = x.astype(jnp.float32)
     y = _ln(x32, params["ln1_scale"].astype(jnp.float32),
             params["ln1_bias"].astype(jnp.float32))
@@ -138,13 +161,19 @@ def hat_block_reference(x, params, bias, num_heads: int, scale: float,
                          preferred_element_type=jnp.float32)
         ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, c)
     proj = (ctx @ params["proj_w"]).astype(jnp.float32) + params["proj_b"]
-    x32 = x32 + params["gamma3"].astype(jnp.float32) * proj
+    delta = params["gamma3"].astype(jnp.float32) * proj
+    if dp1 is not None:
+        delta = delta * dp1.astype(jnp.float32)[:, None, None]
+    x32 = x32 + delta
     y = _ln(x32, params["ln2_scale"].astype(jnp.float32),
             params["ln2_bias"].astype(jnp.float32))
     h1 = (y.astype(x.dtype) @ params["fc1_w"]).astype(jnp.float32) + params["fc1_b"]
     h1 = _gelu(h1).astype(x.dtype)
     h2 = (h1 @ params["fc2_w"]).astype(jnp.float32) + params["fc2_b"]
-    x32 = x32 + params["gamma4"].astype(jnp.float32) * h2
+    delta = params["gamma4"].astype(jnp.float32) * h2
+    if dp2 is not None:
+        delta = delta * dp2.astype(jnp.float32)[:, None, None]
+    x32 = x32 + delta
     return x32.astype(x.dtype)
 
 
@@ -173,7 +202,7 @@ def fused_block_supported(x_shape, params,
             and _row_bytes(s, c, hidden) <= act_limit)
 
 
-def _forward(x, params, bias, num_heads, scale, interpret):
+def _forward(x, params, bias, num_heads, scale, interpret, dp1=None, dp2=None):
     b, s, c = x.shape
     p = _pack_factor(b, s)
     xp = x.reshape(b // p, p * s, c)
@@ -187,8 +216,10 @@ def _forward(x, params, bias, num_heads, scale, interpret):
         tb //= 2
     while bp % tb:
         tb -= 1
-    kernel = functools.partial(_hat_block_kernel, num_heads=num_heads,
-                               scale=scale)
+    has_dp = dp1 is not None
+    kernel = functools.partial(
+        _hat_block_kernel_dp if has_dp else _hat_block_kernel,
+        num_heads=num_heads, scale=scale)
     wspecs = [pl.BlockSpec(params[k].shape,
                            (lambda i, nd=params[k].ndim: (0,) * nd),
                            memory_space=pltpu.VMEM) for k in _PARAM_ORDER]
@@ -201,6 +232,16 @@ def _forward(x, params, bias, num_heads, scale, interpret):
              + wspecs[4:])
     args = ([xp] + [params[k] for k in _PARAM_ORDER[:4]] + [biasp]
             + [params[k] for k in _PARAM_ORDER[4:]])
+    if has_dp:
+        # (B,) per-row scales -> (BP, SP, 1) per packed token; trailing
+        # singleton keeps the tile's last-two dims Mosaic-legal (sublane =
+        # SP = array dim, lane = 1 = array dim)
+        dp_spec = pl.BlockSpec((tb, sp, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        for dpv in (dp1, dp2):
+            args.append(jnp.repeat(dpv.astype(jnp.float32).reshape(b // p, p),
+                                   s, axis=1)[..., None])
+            specs.append(dp_spec)
     hd = c // num_heads
     out = pl.pallas_call(
         kernel,
@@ -235,10 +276,39 @@ def _fwd(x, params, bias, num_heads, scale, interpret):
 
 def _bwd(num_heads, scale, interpret, res, g):
     x, params, bias = res
+    impl = "jnp" if interpret else "pallas"
     _, vjp = jax.vjp(
-        lambda x, p, b: hat_block_reference(x, p, b, num_heads, scale),
+        lambda x, p, b: hat_block_reference(x, p, b, num_heads, scale,
+                                            attn_impl=impl),
         x, params, bias)
     return vjp(g)
 
 
 fused_hat_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_hat_block_dp(x, params, bias, dp1, dp2, num_heads: int,
+                       scale: float, interpret: bool = False):
+    """Fused HAT block with per-row (B,) residual-branch scales — the
+    DropPath-in-training entry point. Backward is a recompute VJP through the
+    reference composition (attention via the packed Pallas kernel on TPU)."""
+    return _forward(x, params, bias, num_heads, scale, interpret, dp1, dp2)
+
+
+def _fwd_dp(x, params, bias, dp1, dp2, num_heads, scale, interpret):
+    return _forward(x, params, bias, num_heads, scale, interpret, dp1, dp2), \
+        (x, params, bias, dp1, dp2)
+
+
+def _bwd_dp(num_heads, scale, interpret, res, g):
+    x, params, bias, dp1, dp2 = res
+    impl = "jnp" if interpret else "pallas"
+    _, vjp = jax.vjp(
+        lambda x, p, b, d1, d2: hat_block_reference(
+            x, p, b, num_heads, scale, attn_impl=impl, dp1=d1, dp2=d2),
+        x, params, bias, dp1, dp2)
+    return vjp(g)
+
+
+fused_hat_block_dp.defvjp(_fwd_dp, _bwd_dp)

@@ -79,6 +79,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval-metric", default="top1")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--log-wandb", action="store_true",
+                   help="log metrics to Weights & Biases if installed "
+                        "(reference train.py:383-388)")
+    p.add_argument("--experiment", default="",
+                   help="wandb run name (reference train.py:306-308)")
     return p
 
 
@@ -197,6 +202,10 @@ def train(args) -> dict:
     eval_step = jax.jit(make_eval_step(model.module), in_shardings=(repl, bsh))
     tb = TensorboardLogger(os.path.join(args.output, "tb")
                            if args.tensorboard else None)
+    from fastervit_tpu.utils.metrics import WandbLogger
+    wandb_log = WandbLogger(getattr(args, "log_wandb", False),
+                            run_name=args.experiment or None,
+                            config=vars(args))
 
     def run_eval(params, batch_stats):
         totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
@@ -245,6 +254,9 @@ def train(args) -> dict:
                              epoch, i, len(train_loader), metrics["loss"],
                              metrics.get("lr", 0.0), rate)
                     tb.log_scalar("train/loss", metrics["loss"], int(state.step))
+                    wandb_log.log({"train/loss": metrics["loss"],
+                                   "train/lr": metrics.get("lr", 0.0),
+                                   "train/img_s": rate}, step=int(state.step))
                     t_end = time.perf_counter()
                 ckpt.maybe_save_recovery(int(state.step), state)
 
@@ -264,7 +276,10 @@ def train(args) -> dict:
             update_summary(epoch, {"loss": loss_m.avg, "img_s": rate_m.avg},
                            eval_m, summary_path, write_header=(epoch == 0))
             tb.log_scalar("eval/top1", eval_m["top1"], int(state.step))
+            wandb_log.log({"eval/" + k: v for k, v in eval_m.items()},
+                          step=int(state.step))
             tb.flush()
+    wandb_log.finish()
     ckpt.wait()
     return {"best_" + args.eval_metric: best}
 

@@ -40,6 +40,35 @@ def update_summary(epoch: int, train_metrics: dict, eval_metrics: dict,
         w.writerow(row)
 
 
+class WandbLogger:
+    """Optional Weights & Biases logging, import-gated exactly like the
+    reference (train.py:383-388: missing wandb -> warning, training
+    continues)."""
+
+    def __init__(self, enabled: bool, project: str = "fastervit-tpu",
+                 run_name: Optional[str] = None, config: Optional[dict] = None):
+        self._wandb = None
+        if not enabled:
+            return
+        try:
+            import wandb
+            wandb.init(project=project, name=run_name, config=config)
+            self._wandb = wandb
+        except ImportError:
+            import logging
+            logging.getLogger(__name__).warning(
+                "wandb requested but not installed; metrics will not be "
+                "logged to wandb (pip install wandb)")
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def finish(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
 class TensorboardLogger:
     """Scalar logger (reference tensorboard.py TensorboardLogger), backed by
     tf.summary when tensorflow is available, else a no-op."""

@@ -81,3 +81,47 @@ def test_model_fused_equals_composed():
     a = np.asarray(m_jnp.apply(v, x))
     b = np.asarray(m_pal.apply(v, x))
     np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_block_dp_matches_reference():
+    """Per-row residual scales (DropPath masks): forward + gradients of the
+    dp kernel vs the reference composition with the same scales."""
+    from fastervit_tpu.ops.pallas_hat_block import fused_hat_block_dp
+    b, s, h, c = 8, 16, 2, 64
+    x, params, bias = _make(b, s, h, c)
+    scale = (c // h) ** -0.5
+    rng = np.random.RandomState(7)
+    keep = 0.8
+    dp1 = jnp.asarray((rng.rand(b) < keep) / keep, jnp.float32)
+    dp2 = jnp.asarray((rng.rand(b) < keep) / keep, jnp.float32)
+
+    got = fused_hat_block_dp(x, params, bias, dp1, dp2, h, scale, True)
+    want = hat_block_reference(x, params, bias, h, scale, dp1=dp1, dp2=dp2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    cot = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    g_fused = jax.grad(lambda x, p, bb: jnp.sum(
+        fused_hat_block_dp(x, p, bb, dp1, dp2, h, scale, True) * cot),
+        argnums=(0, 1, 2))(x, params, bias)
+    g_ref = jax.grad(lambda x, p, bb: jnp.sum(
+        hat_block_reference(x, p, bb, h, scale, dp1=dp1, dp2=dp2) * cot),
+        argnums=(0, 1, 2))(x, params, bias)
+    jax.tree.map(lambda a, e: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(e), atol=1e-4, rtol=1e-4), g_fused, g_ref)
+
+
+def test_model_train_mode_fused_dp_runs():
+    """attn_impl='pallas' now covers stochastic-depth training: a train-mode
+    forward with drop_path active runs through the dp kernel and stays
+    finite; drop_path=0 rows of the mask mean some samples' blocks are
+    identity + residual only."""
+    kw = dict(depths=[1, 1, 2, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              resolution=112, num_classes=10, drop_path_rate=0.5)
+    m = fvt.create_model("faster_vit_0_224", attn_impl="pallas", **kw)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 112, 112, 3), jnp.float32)
+    out, _ = m.module.apply(v, x, training=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)},
+                            mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
