@@ -467,16 +467,19 @@ class HAT(nn.Module):
         through the fully-fused Pallas block when eligible (deterministic, no
         attention/proj dropout, weights fit VMEM, pallas backend)."""
         from fastervit_tpu.ops.pallas_hat_block import (fused_block_supported,
-                                                        fused_hat_block,
-                                                        fused_hat_block_dp)
+                                                        fused_hat_block)
         n1, attn_name, n2, mlp_name = names
         mlp_hidden = int(self.dim * self.mlp_ratio)
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         impl = attention_ops._resolve_impl(self.attn_impl, can_fuse=True)
-        # the fused block covers training too: DropPath becomes per-row
-        # residual-branch scales fed to the kernel (dropout rates are 0.0
-        # throughout the family's recipes, so only drop_path matters)
+        # pallas path covers training too: DropPath becomes per-row
+        # residual-branch scales (dropout rates are 0.0 throughout the
+        # family's recipes, so only drop_path matters). Measured on v5e
+        # (fv0, b128, bf16): training goes through the composed reference
+        # with the packed Pallas attention (2638 img/s) — the fully-fused
+        # kernel's recompute VJP is slower (2151); the fused kernel serves
+        # the deterministic/inference path.
         use_fused = (impl == "pallas"
                      and self.drop == 0.0 and self.attn_drop == 0.0)
         if use_fused:
@@ -508,11 +511,8 @@ class HAT(nn.Module):
                 "fc2_w": fc2_w.astype(cd), "fc2_b": fc2_b,
                 "gamma4": g_mlp if not isinstance(g_mlp, float) else ones,
             }
-            if fused_block_supported(x.shape, params):
+            if deterministic and fused_block_supported(x.shape, params):
                 interpret = not attention_ops._on_tpu()
-                if dp1 is not None:
-                    return fused_hat_block_dp(x, params, bias, dp1, dp2,
-                                              self.num_heads, scale, interpret)
                 return fused_hat_block(x, params, bias, self.num_heads,
                                        scale, interpret)
             # VMEM overflow (large-C stages of fv3+): composed math but the

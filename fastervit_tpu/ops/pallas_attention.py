@@ -39,14 +39,16 @@ def _pick_block_b(b: int, row_bytes: int = 0,
 
 
 def _fwd_row_bytes(s: int, c: int, num_heads: int, itemsize: int) -> int:
-    # qkv tile + out + one head's f32 logits/probs
-    return s * (4 * c * itemsize) + 2 * s * s * 4
+    # in/out tiles are double-buffered by the Mosaic pipeline (x2); f32
+    # logits/probs scratch is not
+    return 2 * s * (4 * c * itemsize) + 2 * s * s * 4
 
 
 def _bwd_row_bytes(s: int, c: int, num_heads: int, itemsize: int) -> int:
-    # qkv + g + dqkv tiles + ~3 f32 (S,S) buffers + f32 dq/dk/dv slices
+    # qkv + g + dqkv tiles (double-buffered) + ~3 f32 (S,S) buffers + f32
+    # dq/dk/dv slices
     hd = c // num_heads
-    return s * (7 * c * itemsize + 3 * hd * 4) + 3 * s * s * 4
+    return 2 * s * 7 * c * itemsize + s * 3 * hd * 4 + 3 * s * s * 4
 
 
 def _mhsa_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int, scale: float):

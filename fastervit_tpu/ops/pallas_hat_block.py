@@ -98,7 +98,9 @@ def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
         preferred_element_type=jnp.float32) + projb_ref[:].astype(jnp.float32)
     attn_delta = g3_ref[:].astype(jnp.float32) * proj.reshape(tb, s, c)
     if dp1_ref is not None:
-        attn_delta = attn_delta * dp1_ref[:]        # (TB, S, 1) broadcast
+        # dp refs hold the full (BP, SP) scale array; slice this tile's rows
+        dp1 = dp1_ref[pl.ds(pl.program_id(0) * tb, tb), :]
+        attn_delta = attn_delta * dp1[..., None]
     x32 = x32 + attn_delta
 
     # --- MLP branch -------------------------------------------------------------
@@ -113,7 +115,8 @@ def _hat_block_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref, bias_ref,
         preferred_element_type=jnp.float32) + fc2b_ref[:].astype(jnp.float32)
     mlp_delta = g4_ref[:].astype(jnp.float32) * h2.reshape(tb, s, c)
     if dp2_ref is not None:
-        mlp_delta = mlp_delta * dp2_ref[:]          # (TB, S, 1) broadcast
+        dp2 = dp2_ref[pl.ds(pl.program_id(0) * tb, tb), :]
+        mlp_delta = mlp_delta * dp2[..., None]
     x32 = x32 + mlp_delta
 
     out_ref[:] = x32.astype(out_ref.dtype)
@@ -233,14 +236,15 @@ def _forward(x, params, bias, num_heads, scale, interpret, dp1=None, dp2=None):
     args = ([xp] + [params[k] for k in _PARAM_ORDER[:4]] + [biasp]
             + [params[k] for k in _PARAM_ORDER[4:]])
     if has_dp:
-        # (B,) per-row scales -> (BP, SP, 1) per packed token; trailing
-        # singleton keeps the tile's last-two dims Mosaic-legal (sublane =
-        # SP = array dim, lane = 1 = array dim)
-        dp_spec = pl.BlockSpec((tb, sp, 1), lambda i: (i, 0, 0),
+        # (B,) per-row scales -> (BP, SP) per packed token, passed as ONE
+        # grid-invariant VMEM block (131KB f32 at fv0 stage-2 shapes; a
+        # (tb, sp, 1) tile would pad its lane dim 128x and double-buffer);
+        # the kernel slices its tile's rows with pl.ds(program_id*tb)
+        dp_spec = pl.BlockSpec((bp, sp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
         for dpv in (dp1, dp2):
             args.append(jnp.repeat(dpv.astype(jnp.float32).reshape(b // p, p),
-                                   s, axis=1)[..., None])
+                                   s, axis=1))
             specs.append(dp_spec)
     hd = c // num_heads
     out = pl.pallas_call(
