@@ -126,6 +126,47 @@ def detection_loss(outputs, tgt, assignment, num_classes: int,
                   "loss_giou": total_giou}
 
 
+def detection_param_labels(params, backbone_key: str = "backbone",
+                           linear_proj_names: tuple = ()):
+    """Label each param 'backbone' / 'linear_proj' / 'main' by its path —
+    the reference's per-module LR grouping (dino/util/get_param_dicts.py:
+    22-51: default type puts any 'backbone' param on lr_backbone;
+    ddetr_in_mmdet additionally scales sampling-offset/reference-point
+    projections)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        joined = "/".join(str(p) for p in path)
+        if backbone_key in joined:
+            labels[path] = "backbone"
+        elif any(k in joined for k in linear_proj_names):
+            labels[path] = "linear_proj"
+        else:
+            labels[path] = "main"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def create_detection_optimizer(params, lr: float = 1e-4,
+                               lr_backbone: float = 1e-5,
+                               weight_decay: float = 1e-4,
+                               clip_norm: float = 0.1,
+                               lr_linear_proj_mult: float = 1.0,
+                               linear_proj_names: tuple = ()):
+    """AdamW with per-group LRs and grad clipping (reference dino/main.py:
+    230-238: clip_max_norm 0.1, AdamW wd 1e-4, lr 1e-4 / backbone 1e-5)."""
+    def adamw(lr_):
+        return optax.adamw(lr_, weight_decay=weight_decay)
+
+    labels = detection_param_labels(params,
+                                    linear_proj_names=linear_proj_names)
+    tx = optax.multi_transform(
+        {"main": adamw(lr), "backbone": adamw(lr_backbone),
+         "linear_proj": adamw(lr * lr_linear_proj_mult)}, labels)
+    return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+
+
 def make_detection_train_step(detector, tx):
     """The jitted phase-3 step. BatchNorm runs on frozen (eval) statistics —
     the standard frozen-BN detection-backbone setup (reference uses

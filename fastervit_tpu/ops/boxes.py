@@ -67,3 +67,50 @@ def hungarian_match(cost: np.ndarray):
     equivalent of the reference's scipy linear_sum_assignment call."""
     from scipy.optimize import linear_sum_assignment
     return linear_sum_assignment(np.asarray(cost))
+
+
+def _iou_terms(b1, b2):
+    """Shared CIoU/DIoU terms for aligned box pairs in the reference's
+    (sigmoid cx, sigmoid cy, exp w, exp h) parameterization
+    (dino/util/box_loss.py:7-56)."""
+    b1 = jax.nn.sigmoid(b1)
+    b2 = jax.nn.sigmoid(b2)
+    w1, h1 = jnp.exp(b1[..., 2]), jnp.exp(b1[..., 3])
+    w2, h2 = jnp.exp(b2[..., 2]), jnp.exp(b2[..., 3])
+    cx1, cy1 = b1[..., 0], b1[..., 1]
+    cx2, cy2 = b2[..., 0], b2[..., 1]
+    inter_w = jnp.clip(jnp.minimum(cx1 + w1 / 2, cx2 + w2 / 2)
+                       - jnp.maximum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    inter_h = jnp.clip(jnp.minimum(cy1 + h1 / 2, cy2 + h2 / 2)
+                       - jnp.maximum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter = inter_w * inter_h
+    union = w1 * h1 + w2 * h2 - inter
+    iou = inter / union
+    c_w = jnp.clip(jnp.maximum(cx1 + w1 / 2, cx2 + w2 / 2)
+                   - jnp.minimum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    c_h = jnp.clip(jnp.maximum(cy1 + h1 / 2, cy2 + h2 / 2)
+                   - jnp.minimum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter_diag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+    c_diag = c_w ** 2 + c_h ** 2
+    u = inter_diag / c_diag
+    return iou, u, (w1, h1, w2, h2)
+
+
+def ciou_loss(pred, target):
+    """Complete-IoU loss, 1 - ciou per aligned pair (reference
+    dino/util/box_loss.py ciou: aspect-ratio term gated by iou>0.5 with a
+    stop-gradient alpha)."""
+    iou, u, (w1, h1, w2, h2) = _iou_terms(pred, target)
+    v = (4 / (np.pi ** 2)) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    s = jax.lax.stop_gradient((iou > 0.5).astype(iou.dtype))
+    alpha = jax.lax.stop_gradient(s * v / (1 - iou + v))
+    cious = jnp.clip(iou - u - alpha * v, -1.0, 1.0)
+    return 1.0 - cious
+
+
+def diou_loss(pred, target):
+    """Distance-IoU loss, 1 - diou per aligned pair (reference
+    dino/util/box_loss.py diou, clamp [-1, 1])."""
+    iou, u, _ = _iou_terms(pred, target)
+    dious = jnp.clip(iou - u, -1.0, 1.0)
+    return 1.0 - dious
