@@ -34,6 +34,7 @@ class DINODetector(nn.Module):
     enc_layers: int = 6
     dec_layers: int = 6
     num_feature_levels: int = 4
+    remat: bool = False        # per-layer activation checkpointing
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,28 +46,44 @@ class DINODetector(nn.Module):
         drives the transformer's valid-ratio path."""
         feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
                                  name="backbone")(images, training=training)
-        keys = sorted(feats)  # res2..res5
-        keys = keys[-self.num_feature_levels:]
+        # reference 4-scale geometry (dino.py:97-112, 250-262 +
+        # backbone return_interm_indices=[1,2,3], config DINO_*.py:31):
+        # backbone strides 8/16/32 through 1x1 proj + GroupNorm, then extra
+        # levels from 3x3 stride-2 projections — the first on the RAW last
+        # backbone feature, subsequent ones on the previous projected level
+        keys = sorted(feats)[1:]                       # res3..res5
         srcs, shapes, masks = [], [], []
-        for i, kname in enumerate(keys):
-            f = feats[kname]
-            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
-                        name=f"input_proj_{i}")(f)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                             name=f"input_proj_norm_{i}")(x)
-            b, h, w, _ = x.shape
+
+        def _append(x, b, h, w):
             shapes.append((h, w))
             srcs.append(x.reshape(b, h * w, self.dim))
             if pad_mask is not None:
                 m = jax.image.resize(pad_mask.astype(jnp.float32),
                                      (b, h, w), "nearest") > 0.5
                 masks.append(m.reshape(b, h * w))
+
+        for i, kname in enumerate(keys[:self.num_feature_levels]):
+            f = feats[kname]
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                        name=f"input_proj_{i}")(f)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"input_proj_norm_{i}")(x)
+            _append(x, *x.shape[:3])
+        prev = feats[keys[-1]]
+        for i in range(len(keys), self.num_feature_levels):
+            x = nn.Conv(self.dim, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name=f"input_proj_{i}")(prev)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"input_proj_norm_{i}")(x)
+            _append(x, *x.shape[:3])
+            prev = x
         src = jnp.concatenate(srcs, axis=1)
         flat_mask = jnp.concatenate(masks, axis=1) if masks else None
         out = DeformableTransformer(
             dim=self.dim, num_queries=self.num_queries,
             num_classes=self.num_classes, enc_layers=self.enc_layers,
-            dec_layers=self.dec_layers, dtype=self.dtype,
+            dec_layers=self.dec_layers, remat=self.remat, dtype=self.dtype,
             name="transformer")(src, tuple(shapes),
                                 padding_mask=flat_mask,
                                 deterministic=not training,
@@ -92,6 +109,7 @@ def build_dino_from_config(cfg, dtype=jnp.float32) -> DINODetector:
         enc_layers=cfg.get("enc_layers", 6),
         dec_layers=cfg.get("dec_layers", 6),
         num_feature_levels=cfg.get("num_feature_levels", 4),
+        remat=cfg.get("use_checkpoint", False),
         dtype=dtype)
 
 

@@ -355,6 +355,9 @@ class DeformableTransformer(nn.Module):
     # look_forward_twice=True gradient flow.
     share_dec_heads: bool = True
     dn_labelbook_size: int = 91
+    remat: bool = False     # per-layer activation checkpointing (reference
+                            # use_checkpoint, config DINO_*.py:25) — needed
+                            # to fit the backward in HBM at DINO scales
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -395,11 +398,14 @@ class DeformableTransformer(nn.Module):
             for i, (h, w) in enumerate(spatial_shapes)], 0)
         pos = (pos + lvl[None]).astype(self.dtype)
 
+        # static_argnums index from self=0: spatial_shapes / deterministic
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
+                   if self.remat else EncoderLayer)
         memory = srcs
         for i in range(self.enc_layers):
-            memory = EncoderLayer(self.dim, self.n_heads, self.n_points,
-                                  n_levels, self.ffn_dim, self.dropout,
-                                  self.dtype, name=f"encoder_{i}")(
+            memory = enc_cls(self.dim, self.n_heads, self.n_points,
+                             n_levels, self.ffn_dim, self.dropout,
+                             self.dtype, name=f"encoder_{i}")(
                 memory, pos, ref_pts, spatial_shapes, padding_mask,
                 deterministic)
 
@@ -505,11 +511,13 @@ class DeformableTransformer(nn.Module):
                 ref_input = jnp.repeat(ref_boxes[:, :, None, :], n_levels, 2)
             qp = ref_point_head(gen_sineembed(ref_input[:, :, 0],
                                               self.dim // 2))
-            tgt = DecoderLayer(self.dim, self.n_heads, self.n_points,
-                               n_levels, self.ffn_dim, self.dropout,
-                               self.dtype, name=f"decoder_{i}")(
+            dec_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
+                       if self.remat else DecoderLayer)
+            tgt = dec_cls(self.dim, self.n_heads, self.n_points,
+                          n_levels, self.ffn_dim, self.dropout,
+                          self.dtype, name=f"decoder_{i}")(
                 tgt, qp, ref_input, memory, spatial_shapes, padding_mask,
-                deterministic, self_attn_mask=dn_attn_mask)
+                deterministic, dn_attn_mask)
             hidden = dec_norm(tgt)
             # internal refinement on the unnormed output
             # (deformable_transformer.py:761-765)

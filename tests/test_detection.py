@@ -227,3 +227,33 @@ def test_cdn_adaptive_groups():
                            num_queries=20, dn_number=100)
     assert meta["groups"] == 20            # 100 // 5 padded slots
     assert meta["n_dn"] == 20 * 2 * 5
+
+
+def test_remat_matches_no_remat():
+    """remat=True (reference use_checkpoint) must not change outputs or
+    gradients — only memory."""
+    import jax
+    import jax.numpy as jnp
+    from fastervit_tpu.detection.dino import DINODetector
+    from fastervit_tpu.models.registry import get_config
+
+    cfg = get_config("faster_vit_0_224", resolution=64, depths=[1, 1, 1, 1],
+                     dim=32, in_dim=16, num_heads=[1, 2, 4, 8])
+    kw = dict(backbone_cfg=cfg, num_classes=5, dim=32, num_queries=10,
+              enc_layers=1, dec_layers=1, num_feature_levels=4)
+    det_a = DINODetector(remat=False, **kw)
+    det_b = DINODetector(remat=True, **kw)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    v = det_a.init(jax.random.PRNGKey(0), x)
+
+    def loss(det, params):
+        out = det.apply({"params": params,
+                         "batch_stats": v.get("batch_stats", {})}, x)
+        return jnp.sum(out["boxes"][-1] ** 2) + jnp.sum(
+            jax.nn.sigmoid(out["logits"][-1]))
+
+    la, ga = jax.value_and_grad(lambda p: loss(det_a, p))(v["params"])
+    lb, gb = jax.value_and_grad(lambda p: loss(det_b, p))(v["params"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5,
+                                                         rtol=1e-5), ga, gb)

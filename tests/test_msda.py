@@ -97,3 +97,35 @@ def test_gradients_numerical(d):
                                            err_msg=f"arg{argi} idx{i}")
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_custom_vjp_matches_autodiff():
+    """The hand-written backward (scatter-as-matmuls col2im) must equal
+    autodiff through the gather forward."""
+    from fastervit_tpu.ops.msda import ms_deform_attn_autodiff
+
+    value, loc, w = _make(q=7, dtype=np.float32)
+    cot = np.random.RandomState(3).randn(2, 7, 8).astype(np.float32)
+
+    def with_custom(v, l, ww):
+        return jnp.sum(ms_deform_attn(v, SHAPES, l, ww) * cot)
+
+    def with_auto(v, l, ww):
+        return jnp.sum(ms_deform_attn_autodiff(v, SHAPES, l, ww) * cot)
+
+    ga = jax.grad(with_custom, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    gb = jax.grad(with_auto, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_query_chunking_matches_unchunked():
+    value, loc, w = _make(q=11, dtype=np.float32)
+    a = ms_deform_attn(jnp.asarray(value), SHAPES, jnp.asarray(loc),
+                       jnp.asarray(w), query_chunk=None)
+    b = ms_deform_attn(jnp.asarray(value), SHAPES, jnp.asarray(loc),
+                       jnp.asarray(w), query_chunk=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
