@@ -159,11 +159,15 @@ def create_detection_optimizer(params, lr: float = 1e-4,
     def adamw(lr_):
         return optax.adamw(lr_, weight_decay=weight_decay)
 
+    if callable(lr):
+        lr_proj = lambda step: lr(step) * lr_linear_proj_mult
+    else:
+        lr_proj = lr * lr_linear_proj_mult
     labels = detection_param_labels(params,
                                     linear_proj_names=linear_proj_names)
     tx = optax.multi_transform(
         {"main": adamw(lr), "backbone": adamw(lr_backbone),
-         "linear_proj": adamw(lr * lr_linear_proj_mult)}, labels)
+         "linear_proj": adamw(lr_proj)}, labels)
     return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
 
 
