@@ -33,6 +33,15 @@ def initialize(coordinator_address: Optional[str] = None,
         if coordinator_address is None:
             nodelist = os.environ.get("SLURM_STEP_NODELIST", "")
             coordinator_address = nodelist.split(",")[0].split("[")[0] or None
+    if num_processes is None and "MASTER_ADDR" in os.environ \
+            and "RANK" in os.environ:
+        # torchrun-style env:// rendezvous (reference train.py:392-406,
+        # motrv2/tools/ddp_train.sh:16)
+        num_processes = int(os.environ.get("WORLD_SIZE", "1"))
+        process_id = int(os.environ["RANK"])
+        if coordinator_address is None:
+            coordinator_address = (f"{os.environ['MASTER_ADDR']}:"
+                                   f"{os.environ.get('MASTER_PORT', '8476')}")
 
     should_init = (coordinator_address is not None
                    or num_processes not in (None, 1)

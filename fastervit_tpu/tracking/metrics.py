@@ -203,6 +203,48 @@ def hota_metrics(data: Dict,
             "LocA_alpha": loc_a}
 
 
+def vace_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
+    """VACE (Manohar et al. 2006), relaxed variant — TrackEval vace.py
+    semantics: STDA/ATA from Hungarian-matched track-level temporal IoU
+    (frames with spatial overlap >= threshold over frames where either
+    track exists), FDA/SFDA from per-frame Hungarian spatial overlap."""
+    g, p = data["num_gt_ids"], data["num_tracker_ids"]
+    potential = np.zeros((g, p))
+    gt_count = np.zeros(g)
+    trk_count = np.zeros(p)
+    both = np.zeros((g, p))
+    fda = 0.0
+    non_empty = 0
+    for t in range(len(data["gt_ids"])):
+        gids = np.asarray(data["gt_ids"][t])
+        pids = np.asarray(data["tracker_ids"][t])
+        sim = np.asarray(data["similarity_scores"][t], float)
+        ig, ip = np.nonzero(sim >= threshold)
+        potential[gids[ig], pids[ip]] += 1
+        gt_count[gids] += 1
+        trk_count[pids] += 1
+        if len(gids) and len(pids):
+            both[gids[:, None], pids[None, :]] += 1
+        n_g, n_d = len(gids), len(pids)
+        if n_g or n_d:
+            non_empty += 1
+            if n_g and n_d:
+                r, c = linear_sum_assignment(-sim)
+                fda += sim[r, c].sum() / (0.5 * (n_g + n_d))
+    union = gt_count[:, None] + trk_count[None, :] - both
+    temporal_iou = np.where(union > 0, potential / np.maximum(union, EPS), 0.0)
+    stda = 0.0
+    if g and p:
+        r, c = linear_sum_assignment(-temporal_iou)
+        stda = float(temporal_iou[r, c].sum())
+    return {
+        "STDA": stda,
+        "ATA": stda / max(0.5 * (g + p), EPS),
+        "FDA": float(fda),
+        "SFDA": float(fda) / max(non_empty, 1),
+    }
+
+
 def evaluate_sequences(seqs: List[Dict]) -> Dict[str, float]:
     """Average metrics over sequences (simple mean, TrackEval-style summary)."""
     outs = []
@@ -211,6 +253,7 @@ def evaluate_sequences(seqs: List[Dict]) -> Dict[str, float]:
         m.update(clear_metrics(d))
         m.update(identity_metrics(d))
         m.update(hota_metrics(d))
+        m.update(vace_metrics(d))
         outs.append(m)
-    keys = ["MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA"]
+    keys = ["MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA", "ATA", "SFDA"]
     return {k: float(np.mean([o[k] for o in outs])) for k in keys}

@@ -118,3 +118,30 @@ def test_mt_ml_frag():
     assert c["ML"] == 0          # gt1 at 1/4 = 0.25 is not < 0.2
     # gt1: matched f0 -> lost f1 (1 frag); gt2: matched f0 -> lost f1 -> back
     assert c["Frag"] == 2
+
+
+def test_vace_hand_computed():
+    """VACE values against hand-computed expectations (TrackEval
+    tests/test_metrics.py style)."""
+    from fastervit_tpu.tracking.metrics import vace_metrics
+
+    one = np.ones((1, 1))
+    # gt track 0 on 3 frames; tracker follows for 2 then disappears
+    d = {"num_gt_ids": 1, "num_tracker_ids": 1,
+         "gt_ids": [np.array([0])] * 3,
+         "tracker_ids": [np.array([0]), np.array([0]), np.array([], int)],
+         "similarity_scores": [one, one, np.zeros((1, 0))]}
+    m = vace_metrics(d)
+    assert abs(m["STDA"] - 2 / 3) < 1e-9       # 2 overlap / 3 union frames
+    assert abs(m["ATA"] - 2 / 3) < 1e-9        # / (0.5 * (1 + 1))
+    assert abs(m["SFDA"] - 2 / 3) < 1e-9       # 2 perfect frames / 3 non-empty
+
+    # identity split: second tracker id covers the last frame
+    d2 = {"num_gt_ids": 1, "num_tracker_ids": 2,
+          "gt_ids": [np.array([0])] * 3,
+          "tracker_ids": [np.array([0]), np.array([0]), np.array([1])],
+          "similarity_scores": [one, one, one]}
+    m2 = vace_metrics(d2)
+    assert abs(m2["STDA"] - 2 / 3) < 1e-9      # best single match: trk 0
+    assert abs(m2["ATA"] - (2 / 3) / 1.5) < 1e-9
+    assert abs(m2["SFDA"] - 1.0) < 1e-9        # every frame matched 1:1
