@@ -171,13 +171,15 @@ def create_detection_optimizer(params, lr: float = 1e-4,
     return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
 
 
-def make_detection_train_step(detector, tx):
+def make_detection_train_step(detector, tx, ema_decay: float = 0.0):
     """The jitted phase-3 step. BatchNorm runs on frozen (eval) statistics —
     the standard frozen-BN detection-backbone setup (reference uses
-    FrozenBatchNorm2d, dino/models/dino/backbone.py:36)."""
+    FrozenBatchNorm2d, dino/models/dino/backbone.py:36). With ema_decay > 0
+    an EMA parameter tree is threaded through (reference dino ModelEma,
+    util/utils.py + engine.py ema update)."""
 
     def train_step(params, batch_stats, opt_state, batch_images, tgt,
-                   assignment):
+                   assignment, ema_params=None):
         def loss_fn(p):
             out = detector.apply({"params": p, "batch_stats": batch_stats},
                                  batch_images, training=False)
@@ -188,20 +190,28 @@ def make_detection_train_step(detector, tx):
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, **parts}
+        if ema_decay > 0.0 and ema_params is not None:
+            from fastervit_tpu.train.ema import ema_update
+            ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, {"loss": loss, **parts}, ema_params
 
     return jax.jit(train_step)
 
 
 def train_detection_epoch(detector, variables, opt_state, tx, loader,
-                          max_targets: int = 20):
+                          max_targets: int = 20, ema_decay: float = 0.0,
+                          ema_params=None):
     """One epoch over (images, targets) batches (reference engine.py:20-120).
-    variables = {'params', 'batch_stats'}; returns updated variables."""
+    variables = {'params', 'batch_stats'}; returns updated variables. With
+    ema_decay > 0, 'ema_params' rides along in the returned variables."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if ema_decay > 0.0 and ema_params is None:
+        ema_params = variables.get("ema_params") or \
+            jax.tree.map(jnp.copy, params)
     fwd = jax.jit(lambda p, x: detector.apply(
         {"params": p, "batch_stats": batch_stats}, x, training=False))
-    step = make_detection_train_step(detector, tx)
+    step = make_detection_train_step(detector, tx, ema_decay)
     cost_fn = None
     losses = []
     for images, targets in loader:
@@ -213,8 +223,11 @@ def train_detection_epoch(detector, variables, opt_state, tx, loader,
         costs = cost_fn(jax.lax.stop_gradient(out), tgt)
         assignment = jnp.asarray(solve_assignments(costs,
                                                    np.asarray(tgt["mask"])))
-        params, opt_state, metrics = step(params, batch_stats, opt_state,
-                                          images, tgt, assignment)
+        params, opt_state, metrics, ema_params = step(
+            params, batch_stats, opt_state, images, tgt, assignment,
+            ema_params)
         losses.append(float(metrics["loss"]))
-    return ({"params": params, "batch_stats": batch_stats}, opt_state,
-            {"loss": float(np.mean(losses))})
+    new_vars = {"params": params, "batch_stats": batch_stats}
+    if ema_params is not None:
+        new_vars["ema_params"] = ema_params
+    return (new_vars, opt_state, {"loss": float(np.mean(losses))})

@@ -297,8 +297,8 @@ def test_detection_train_step_sharded_8dev(cpu_devices):
         [np.asarray(c) for c in costs], np.asarray(tgt["mask"])))
 
     step = make_detection_train_step(det, tx)
-    _, _, m_ref = step(v["params"], v.get("batch_stats", {}), opt_state,
-                       x, tgt, assignment)
+    _, _, m_ref, _ = step(v["params"], v.get("batch_stats", {}), opt_state,
+                          x, tgt, assignment)
 
     mesh = create_mesh(cpu_devices)
     repl, bsh = replicated(mesh), batch_sharding(mesh)
@@ -329,3 +329,43 @@ def test_detection_train_step_sharded_8dev(cpu_devices):
                                opt_state, x, tgt, assignment)
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
                                rtol=1e-5)
+
+
+def test_detection_ema_tracks_params():
+    """ema_decay > 0 threads an EMA tree through the epoch (reference dino
+    ModelEma): after updates, EMA lies between init and current params."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from fastervit_tpu.detection.dino import DINODetector
+    from fastervit_tpu.detection.engine import train_detection_epoch
+    from fastervit_tpu.models.registry import get_config
+
+    cfg = get_config("faster_vit_0_224", resolution=64, depths=[1, 1, 1, 1],
+                     dim=32, in_dim=16, num_heads=[1, 2, 4, 8])
+    det = DINODetector(backbone_cfg=cfg, num_classes=3, dim=32,
+                       num_queries=6, enc_layers=1, dec_layers=1)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    v = det.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(v["params"])
+    init_leaf = np.asarray(jax.tree.leaves(v["params"])[0]).copy()
+
+    def loader():
+        targets = [{"boxes": np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32),
+                    "labels": np.asarray([1], np.int32)}]
+        for _ in range(2):
+            yield x, targets
+
+    v2, _, _ = train_detection_epoch(det, v, opt_state, tx, loader(),
+                                     max_targets=4, ema_decay=0.5)
+    assert "ema_params" in v2
+    cur = np.asarray(jax.tree.leaves(v2["params"])[0])
+    ema = np.asarray(jax.tree.leaves(v2["ema_params"])[0])
+    # EMA moved away from init toward current, but lags it
+    assert not np.allclose(ema, init_leaf)
+    assert not np.allclose(ema, cur)
+    d_ema = np.abs(ema - init_leaf).mean()
+    d_cur = np.abs(cur - init_leaf).mean()
+    assert d_ema < d_cur
