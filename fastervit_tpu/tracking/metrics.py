@@ -257,3 +257,88 @@ def evaluate_sequences(seqs: List[Dict]) -> Dict[str, float]:
         outs.append(m)
     keys = ["MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA", "ATA", "SFDA"]
     return {k: float(np.mean([o[k] for o in outs])) for k in keys}
+
+
+def track_iou_3d(dt_track: Dict[int, np.ndarray],
+                 gt_track: Dict[int, np.ndarray]) -> float:
+    """Spatio-temporal track IoU (TrackEval track_map.py
+    _compute_bb_track_iou, x0y0x1y1 format): summed per-frame intersections
+    over summed per-frame unions across the union of both tracks' frames."""
+    intersect = union = 0.0
+    for t in set(gt_track) | set(dt_track):
+        g = gt_track.get(t)
+        d = dt_track.get(t)
+        if d is not None and g is not None:
+            w = max(min(d[2], g[2]) - max(d[0], g[0]), 0.0)
+            h = max(min(d[3], g[3]) - max(d[1], g[1]), 0.0)
+            i = w * h
+            union += ((d[2] - d[0]) * (d[3] - d[1])
+                      + (g[2] - g[0]) * (g[3] - g[1]) - i)
+            intersect += i
+        elif g is not None:
+            union += (g[2] - g[0]) * (g[3] - g[1])
+        elif d is not None:
+            union += (d[2] - d[0]) * (d[3] - d[1])
+    return intersect / union if union > 0 else 0.0
+
+
+def track_map_metrics(sequences: List[Dict],
+                      iou_thresholds: np.ndarray = None) -> Dict[str, float]:
+    """TrackMAP (TrackEval track_map.py / TAO protocol, base ignore mask):
+    COCO-style AP over whole tracks using 3D track IoU.
+
+    sequences: list of {'gt_tracks': [ {frame: box_xyxy} ],
+                        'dt_tracks': [ {frame: box_xyxy} ],
+                        'dt_scores': [float] }.
+    Detections are score-sorted before greedy matching (TAO convention).
+    Returns {'TrackmAP', 'TrackAP50', 'TrackAP75'}."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 0.99, 0.05)
+    rec_thrs = np.linspace(0.0, 1.0, 101)
+    n_thr = len(iou_thresholds)
+    all_scores, all_matched = [], []
+    num_gt = 0
+    for seq in sequences:
+        gt, dt = seq["gt_tracks"], seq["dt_tracks"]
+        scores = np.asarray(seq["dt_scores"], float)
+        order = np.argsort(-scores, kind="mergesort")
+        num_gt += len(gt)
+        ious = np.zeros((len(dt), len(gt)))
+        for di, d in enumerate(dt):
+            for gi, g in enumerate(gt):
+                ious[di, gi] = track_iou_3d(d, g)
+        matched = np.zeros((n_thr, len(dt)), bool)
+        for ti, thr in enumerate(iou_thresholds):
+            gt_taken = np.zeros(len(gt), bool)
+            for di in order:
+                best, best_iou = -1, min(thr, 1 - 1e-10)
+                for gi in range(len(gt)):
+                    if gt_taken[gi] or ious[di, gi] < best_iou - EPS:
+                        continue
+                    best, best_iou = gi, ious[di, gi]
+                if best >= 0:
+                    gt_taken[best] = True
+                    matched[ti, di] = True
+        all_scores.append(scores)
+        all_matched.append(matched)
+    if not all_scores or num_gt == 0:
+        return {"TrackmAP": 0.0, "TrackAP50": 0.0, "TrackAP75": 0.0}
+    scores = np.concatenate(all_scores)
+    matched = np.concatenate(all_matched, axis=1)
+    order = np.argsort(-scores, kind="mergesort")
+    matched = matched[:, order]
+    aps = np.zeros(n_thr)
+    for ti in range(n_thr):
+        tp = np.cumsum(matched[ti])
+        fp = np.cumsum(~matched[ti])
+        rc = tp / num_gt
+        pr = tp / np.maximum(tp + fp, EPS)
+        # precision envelope + 101-point interpolation (COCO accumulate)
+        for i in range(len(pr) - 2, -1, -1):
+            pr[i] = max(pr[i], pr[i + 1])
+        idx = np.searchsorted(rc, rec_thrs, side="left")
+        aps[ti] = np.mean([pr[j] if j < len(pr) else 0.0 for j in idx])
+    t50 = int(np.argmin(np.abs(iou_thresholds - 0.5)))
+    t75 = int(np.argmin(np.abs(iou_thresholds - 0.75)))
+    return {"TrackmAP": float(aps.mean()), "TrackAP50": float(aps[t50]),
+            "TrackAP75": float(aps[t75])}

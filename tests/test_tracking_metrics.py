@@ -145,3 +145,29 @@ def test_vace_hand_computed():
     assert abs(m2["STDA"] - 2 / 3) < 1e-9      # best single match: trk 0
     assert abs(m2["ATA"] - (2 / 3) / 1.5) < 1e-9
     assert abs(m2["SFDA"] - 1.0) < 1e-9        # every frame matched 1:1
+
+
+def test_track_map_hand_computed():
+    from fastervit_tpu.tracking.metrics import track_iou_3d, track_map_metrics
+
+    box = lambda x0: np.asarray([x0, 0.0, x0 + 10.0, 10.0])
+    # 3D IoU: same box for 2 of 3 frames, absent 3rd -> 200/300
+    g = {0: box(0), 1: box(0), 2: box(0)}
+    d = {0: box(0), 1: box(0)}
+    assert abs(track_iou_3d(d, g) - 2 / 3) < 1e-9
+
+    # two gt tracks; det 1 perfect at score .9, det 2 misses at score .8
+    seq = {"gt_tracks": [{0: box(0)}, {0: box(50)}],
+           "dt_tracks": [{0: box(0)}, {0: box(200)}],
+           "dt_scores": [0.9, 0.8]}
+    m = track_map_metrics([seq])
+    # recall .5 at precision 1, then FP: 101-pt AP = 51/101
+    assert abs(m["TrackAP50"] - 51 / 101) < 1e-6
+    assert abs(m["TrackmAP"] - 51 / 101) < 1e-6
+
+    # perfect tracker
+    seq2 = {"gt_tracks": [{0: box(0)}, {0: box(50)}],
+            "dt_tracks": [{0: box(0)}, {0: box(50)}],
+            "dt_scores": [0.9, 0.8]}
+    m2 = track_map_metrics([seq2])
+    assert abs(m2["TrackmAP"] - 1.0) < 1e-9
