@@ -34,6 +34,11 @@ class DINODetector(nn.Module):
     enc_layers: int = 6
     dec_layers: int = 6
     num_feature_levels: int = 4
+    # which backbone pyramid levels feed the transformer (reference
+    # return_interm_indices, backbone.py:124: [1,2,3] for 4scale = strides
+    # 8/16/32, [0,1,2,3] for 5scale = strides 4/8/16/32; extra stride-2
+    # conv levels fill up to num_feature_levels)
+    return_interm_indices: tuple = (1, 2, 3)
     remat: bool = False        # per-layer activation checkpointing
     dtype: jnp.dtype = jnp.float32
 
@@ -51,7 +56,8 @@ class DINODetector(nn.Module):
         # backbone strides 8/16/32 through 1x1 proj + GroupNorm, then extra
         # levels from 3x3 stride-2 projections — the first on the RAW last
         # backbone feature, subsequent ones on the previous projected level
-        keys = sorted(feats)[1:]                       # res3..res5
+        all_keys = sorted(feats)                       # res2..res5
+        keys = [all_keys[i] for i in self.return_interm_indices]
         srcs, shapes, masks = [], [], []
 
         def _append(x, b, h, w):
@@ -109,6 +115,8 @@ def build_dino_from_config(cfg, dtype=jnp.float32) -> DINODetector:
         enc_layers=cfg.get("enc_layers", 6),
         dec_layers=cfg.get("dec_layers", 6),
         num_feature_levels=cfg.get("num_feature_levels", 4),
+        return_interm_indices=tuple(cfg.get("return_interm_indices",
+                                            [1, 2, 3])),
         remat=cfg.get("use_checkpoint", False),
         dtype=dtype)
 

@@ -369,3 +369,41 @@ def test_detection_ema_tracks_params():
     d_ema = np.abs(ema - init_leaf).mean()
     d_cur = np.abs(cur - init_leaf).mean()
     assert d_ema < d_cur
+
+
+def test_five_scale_level_geometry():
+    """5scale (reference return_interm_indices=[0,1,2,3] + one extra
+    stride-2 level) vs 4scale: level counts and stride progression."""
+    import jax
+    import jax.numpy as jnp
+    from fastervit_tpu.detection.dino import DINODetector
+    from fastervit_tpu.models.registry import get_config
+
+    cfg = get_config("faster_vit_0_224", resolution=64, depths=[1, 1, 1, 1],
+                     dim=32, in_dim=16, num_heads=[1, 2, 4, 8])
+    det5 = DINODetector(backbone_cfg=cfg, num_classes=3, dim=32,
+                        num_queries=6, enc_layers=1, dec_layers=1,
+                        num_feature_levels=5,
+                        return_interm_indices=(0, 1, 2, 3))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = det5.init(jax.random.PRNGKey(0), x)
+    # input projections 0..3 are 1x1 on strides 4/8/16/32; proj 4 is the
+    # 3x3 stride-2 extra level
+    p = v["params"]
+    assert p["input_proj_0"]["kernel"].shape[:2] == (1, 1)
+    assert p["input_proj_4"]["kernel"].shape[:2] == (3, 3)
+    out = det5.apply(v, x)
+    assert out["logits"][-1].shape[1] == 6
+
+
+def test_five_scale_config_builds():
+    from fastervit_tpu.detection.dino import build_dino_from_config
+    from fastervit_tpu.utils.pyconfig import PyConfig
+
+    cfg = PyConfig.fromfile(
+        "configs/dino/dino_5scale_faster_vit_4_21k_224.py")
+    assert cfg["num_feature_levels"] == 5
+    assert cfg["return_interm_indices"] == [0, 1, 2, 3]
+    det = build_dino_from_config(cfg)
+    assert det.num_feature_levels == 5
+    assert det.return_interm_indices == (0, 1, 2, 3)
