@@ -1,0 +1,161 @@
+"""Checkpoint-exact MOTRv2 detector assembly.
+
+Reference motr.py MOTR in the shipped configuration (configs/motrv2.args:
+with_box_refine, QIMv2, no memory bank): backbone pyramid (all four
+strides, motr.py:399-414) -> per-level 1x1+GroupNorm projections -> DETR
+sine position embeddings (position_encoding.py:12-41, N_steps = dim/2,
+normalize=True) -> exact MOTRTransformer (tracking/transformer.py) ->
+per-layer class/box heads where the box head is the decoder-shared
+refinement head (motr.py:442-447, 545-556).
+
+QIMv2 (qim.py:64-175 _update_track_embedding, eval semantics): positives
+(score > 0.5) anchor on their predicted box; self-attention over track
+queries with q = k = pos2posemb(ref) + output_embedding; FFN; a second FFN
+produces the refreshed query features, applied to positive slots.
+
+Weight conversion: tracking/convert.py convert_motr_checkpoint.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastervit_tpu.models.config import FasterViTConfig
+from fastervit_tpu.models.fastervit import FasterViTPyramid
+from fastervit_tpu.tracking.motr import pos2posemb
+from fastervit_tpu.tracking.transformer import MOTRTransformer
+
+
+def sine_position_embedding(h: int, w: int, num_pos_feats: int,
+                            temperature: float = 10000.0) -> np.ndarray:
+    """DETR PositionEmbeddingSine, normalize=True, no padding
+    (position_encoding.py:25-41): returns (h, w, 2*num_pos_feats) with the
+    y-embedding first."""
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = (np.arange(1, h + 1, dtype=np.float32) - 0.5) / (h + eps) * scale
+    x = (np.arange(1, w + 1, dtype=np.float32) - 0.5) / (w + eps) * scale
+    dim_t = temperature ** (2 * (np.arange(num_pos_feats) // 2)
+                            / num_pos_feats)
+    py = y[:, None] / dim_t                     # (h, F)
+    px = x[:, None] / dim_t
+    py = np.stack([np.sin(py[:, 0::2]), np.cos(py[:, 1::2])],
+                  -1).reshape(h, num_pos_feats)
+    px = np.stack([np.sin(px[:, 0::2]), np.cos(px[:, 1::2])],
+                  -1).reshape(w, num_pos_feats)
+    pos = np.concatenate([np.broadcast_to(py[:, None], (h, w, num_pos_feats)),
+                          np.broadcast_to(px[None], (h, w, num_pos_feats))],
+                         axis=-1)
+    return pos.astype(np.float32)
+
+
+class QIMv2(nn.Module):
+    """QueryInteractionModulev2 track-embedding update (qim.py:147-175),
+    update_query_pos=False (the motrv2 default): operates on per-slot
+    arrays, is_pos selects slots whose query features refresh."""
+    dim: int = 256
+    hidden: int = 1024
+
+    @nn.compact
+    def __call__(self, output_embedding, query_pos_feat, ref_pts, scores):
+        """All (B, T, ...); returns (new_query_feat, new_ref_pts)."""
+        is_pos = (scores > 0.5)[..., None]
+        # positives anchor on their predicted boxes (caller passes
+        # pred_boxes through ref_pts update before the embed update)
+        qp = pos2posemb(ref_pts, self.dim // 4).reshape(
+            ref_pts.shape[0], ref_pts.shape[1], self.dim)
+        q = qp + output_embedding
+        tgt = output_embedding
+        sa = nn.MultiHeadDotProductAttention(num_heads=8,
+                                             name="self_attn")(q, q, tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + sa)
+        h = nn.Dense(self.hidden, name="linear1")(tgt)
+        h = nn.Dense(self.dim, name="linear2")(nn.relu(h))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + h)
+        f = nn.Dense(self.hidden, name="linear_feat1")(tgt)
+        f = nn.Dense(self.dim, name="linear_feat2")(nn.relu(f))
+        feat = nn.LayerNorm(epsilon=1e-5,
+                            name="norm_feat")(query_pos_feat + f)
+        return jnp.where(is_pos, feat, query_pos_feat)
+
+
+class MOTRDetectorExact(nn.Module):
+    """Reference-weight-compatible MOTR forward for one frame."""
+    backbone_cfg: FasterViTConfig
+    num_classes: int = 1
+    dim: int = 256
+    num_queries: int = 10
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, query_pos, ref_pts, training: bool = False):
+        """image (B, H, W, 3); query_pos (B, T, dim) query features
+        (reference 'query_pos' naming, motr.py:466-473: learned
+        query_embed rows ++ proposal sine embeds, carried across frames);
+        ref_pts (B, T, 4). Returns per-layer logits/boxes + hidden."""
+        b = image.shape[0]
+        # learned query/anchor tables (motr.py:395, 427, 438: query_embed
+        # embedding, position uniform(0,1) anchors, yolox proposal embed) —
+        # consumed by empty_track_queries on the host between frames
+        self.param("query_embed", nn.initializers.normal(1.0),
+                   (self.num_queries, self.dim))
+        self.param("position", nn.initializers.uniform(1.0),
+                   (self.num_queries, 4))
+        self.param("yolox_embed", nn.initializers.normal(1.0), (self.dim,))
+        feats = FasterViTPyramid(self.backbone_cfg, dtype=self.dtype,
+                                 name="backbone")(image, training=training)
+        keys = sorted(feats)                       # all 4 strides, motr.py:400
+        srcs, shapes, pos = [], [], []
+        for i, k in enumerate(keys):
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                        name=f"input_proj_{i}")(feats[k])
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"input_proj_norm_{i}")(x)
+            _, h, w, _ = x.shape
+            shapes.append((h, w))
+            srcs.append(x.reshape(b, h * w, self.dim))
+            pe = sine_position_embedding(h, w, self.dim // 2)
+            pos.append(jnp.broadcast_to(
+                jnp.asarray(pe).reshape(1, h * w, self.dim),
+                (b, h * w, self.dim)))
+        src = jnp.concatenate(srcs, axis=1)
+        pos = jnp.concatenate(pos, axis=1)
+
+        out = MOTRTransformer(dim=self.dim, enc_layers=self.enc_layers,
+                              dec_layers=self.dec_layers,
+                              ffn_dim=self.ffn_dim, dtype=self.dtype,
+                              name="transformer")(
+            src, tuple(shapes), pos, query_pos, ref_pts,
+            deterministic=not training)
+        logits = [nn.Dense(self.num_classes, dtype=self.dtype,
+                           name=f"class_embed_{i}")(out["hidden"][i])
+                  for i in range(self.dec_layers)]
+        # per-layer boxes equal the decoder's internal refinement values
+        # (shared bbox heads, motr.py:545-556)
+        return {"logits": logits, "boxes": out["refs"],
+                "hidden": out["hidden"], "init_ref": out["init_ref"]}
+
+
+def empty_track_queries(variables, num_queries: int, dim: int,
+                        proposals: Optional[np.ndarray] = None):
+    """_generate_empty_tracks (motr.py:465-489): learned query_embed rows +
+    position anchors, optionally extended with proposal queries
+    (pos2posemb(score) + yolox_embed, boxes as anchors)."""
+    params = variables["params"]
+    qe = np.asarray(params["query_embed"])          # (Q, dim)
+    posw = np.asarray(params["position"])           # (Q, 4)
+    if proposals is None:
+        return qe[None], posw[None]
+    score_emb = np.asarray(pos2posemb(jnp.asarray(proposals[:, 4]), dim))
+    yolox = np.asarray(params["yolox_embed"])
+    qp = np.concatenate([qe, score_emb + yolox], 0)
+    rp = np.concatenate([posw, proposals[:, :4]], 0)
+    return qp[None], rp[None]

@@ -116,3 +116,27 @@ def load_motr_transformer():
         for n in _CLASH:
             sys.modules.pop(n, None)
         sys.modules.update(saved)
+
+
+def load_motr_qim():
+    """Return the reference `models.qim` module (QueryInteractionModulev2)."""
+    import torch
+
+    saved = {n: sys.modules.pop(n) for n in _CLASH + ("models.qim",)
+             if n in sys.modules}
+    try:
+        util = types.ModuleType("util")
+        util.box_ops = types.ModuleType("util.box_ops")
+        sys.modules["util"] = util
+        sys.modules["util.box_ops"] = util.box_ops
+        structures = types.ModuleType("models.structures")
+        structures.Boxes = object
+        structures.Instances = object
+        structures.pairwise_iou = lambda *a, **k: None
+        _package_shell("models", _MOTR_ROOT + "/models")
+        sys.modules["models.structures"] = structures
+        return importlib.import_module("models.qim")
+    finally:
+        for n in _CLASH + ("models.qim",):
+            sys.modules.pop(n, None)
+        sys.modules.update(saved)

@@ -109,3 +109,112 @@ def test_motr_transformer_parity(with_mask):
         np.testing.assert_allclose(
             np.asarray(out["refs"][li][0]), inter_refs[li, 0].numpy(),
             atol=2e-5, rtol=2e-5, err_msg=f"refs layer {li}")
+
+
+def test_sine_position_embedding_matches_torch():
+    """Our unpadded sine embedding vs the reference PositionEmbeddingSine
+    (position_encoding.py:25-41, normalize=True)."""
+    from fastervit_tpu.tracking.motr_exact import sine_position_embedding
+
+    h, w, f = 7, 9, 128
+    not_mask = torch.ones(1, h, w)
+    y = not_mask.cumsum(1)
+    x = not_mask.cumsum(2)
+    eps, scale = 1e-6, 2 * np.pi
+    y = (y - 0.5) / (y[:, -1:, :] + eps) * scale
+    x = (x - 0.5) / (x[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(f, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / f)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), 4).flatten(3)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), 4).flatten(3)
+    ref = torch.cat((py, px), dim=3)[0].numpy()
+    got = sine_position_embedding(h, w, f)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_qimv2_update_matches_torch():
+    """QIMv2 track-embedding update vs the reference module's
+    _update_track_embedding (qim.py:147-175, eval semantics)."""
+    import argparse
+    import types as _types
+
+    import jax
+    import jax.numpy as jnp
+    from motr_reference_loader import load_motr_qim
+    from fastervit_tpu.tracking.convert import convert_motr_checkpoint
+    from fastervit_tpu.tracking.motr_exact import QIMv2
+
+    qim_mod = load_motr_qim()
+    args = argparse.Namespace(random_drop=0.0, fp_ratio=0.0,
+                              update_query_pos=False, merger_dropout=0.0)
+    tq = qim_mod.QueryInteractionModulev2(args, dim_in=256, hidden_dim=1024,
+                                          dim_out=256)
+    tq.eval()
+
+    rng = np.random.RandomState(0)
+    T = 6
+    inst = _types.SimpleNamespace(
+        scores=torch.tensor(rng.rand(T).astype(np.float32)),
+        pred_boxes=torch.tensor(rng.rand(T, 4).astype(np.float32)),
+        ref_pts=torch.tensor(rng.rand(T, 4).astype(np.float32)),
+        output_embedding=torch.tensor(rng.randn(T, 256).astype(np.float32)),
+        query_pos=torch.tensor(rng.randn(T, 256).astype(np.float32)))
+    ref_in = inst.ref_pts.clone()
+    qp_in = inst.query_pos.clone()
+    with torch.no_grad():
+        out = tq._update_track_embedding(inst)
+
+    ours = QIMv2(dim=256, hidden=1024)
+    # reference mutates ref_pts for positives before the embed update
+    is_pos = np.asarray(inst.scores) > 0.5
+    refs = np.where(is_pos[:, None], np.asarray(inst.pred_boxes),
+                    np.asarray(ref_in))
+    v = ours.init(jax.random.PRNGKey(0),
+                  jnp.asarray(np.asarray(inst.output_embedding))[None],
+                  jnp.asarray(np.asarray(qp_in))[None],
+                  jnp.asarray(refs)[None],
+                  jnp.asarray(np.asarray(inst.scores))[None])
+    sd = {"track_embed." + k: val for k, val in tq.state_dict().items()}
+    wrapped = convert_motr_checkpoint(sd, {"params": {"qim": v["params"]}})
+    new_feat = ours.apply({"params": wrapped["params"]["qim"]},
+                          jnp.asarray(np.asarray(inst.output_embedding))[None],
+                          jnp.asarray(np.asarray(qp_in))[None],
+                          jnp.asarray(refs)[None],
+                          jnp.asarray(np.asarray(inst.scores))[None])
+    np.testing.assert_allclose(np.asarray(new_feat[0]),
+                               out.query_pos.numpy(), atol=2e-5, rtol=2e-5)
+
+
+def test_motr_detector_exact_builds_and_runs():
+    """Assembly smoke: backbone -> sine pos -> exact transformer -> heads;
+    empty_track_queries extends with proposal queries."""
+    import jax
+    import jax.numpy as jnp
+    from fastervit_tpu.models.registry import get_config
+    from fastervit_tpu.tracking.motr_exact import (MOTRDetectorExact,
+                                                   empty_track_queries)
+
+    cfg = get_config("faster_vit_0_any_res", resolution=[64, 96],
+                     depths=[1, 1, 1, 1], dim=32, in_dim=16,
+                     num_heads=[1, 2, 4, 8])
+    det = MOTRDetectorExact(backbone_cfg=cfg, num_classes=1, dim=256,
+                            num_queries=4, enc_layers=1, dec_layers=2,
+                            ffn_dim=64)
+    x = jnp.zeros((1, 64, 96, 3))
+    qp = jnp.zeros((1, 4, 256))
+    rp = jnp.full((1, 4, 4), 0.5)
+    v = det.init(jax.random.PRNGKey(0), x, qp, rp)
+    out = det.apply(v, x, qp, rp)
+    assert len(out["logits"]) == 2 and len(out["boxes"]) == 2
+    assert out["logits"][-1].shape == (1, 4, 1)
+    assert out["boxes"][-1].shape == (1, 4, 4)
+    b = np.asarray(out["boxes"][-1])
+    assert (b >= 0).all() and (b <= 1).all()
+
+    props = np.concatenate([np.full((3, 4), 0.4, np.float32),
+                            np.full((3, 1), 0.9, np.float32)], -1)
+    qp2, rp2 = empty_track_queries(v, 4, 256, proposals=props)
+    assert qp2.shape == (1, 7, 256) and rp2.shape == (1, 7, 4)
+    np.testing.assert_allclose(rp2[0, 4:], props[:, :4])
