@@ -54,3 +54,23 @@ def test_tracking_submit_sequence(tmp_path):
     res = (outdir / "seq01.txt").read_text()
     # score-thresh 0 births tracks even at random init
     assert len(res.strip().split("\n")) >= 1
+
+
+def test_tracking_submit_exact_path(tmp_path):
+    """--exact routes through the checkpoint-exact assembly."""
+    from fastervit_tpu.tracking.submit import main
+
+    seq = tmp_path / "val" / "seq01" / "img1"
+    seq.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(1, 3):
+        Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(
+            seq / f"{i:08d}.jpg")
+    outdir = tmp_path / "results"
+    main(["--mot-path", str(tmp_path), "--split", "val",
+          "--output", str(outdir), "--img-height", "64", "--img-width", "64",
+          "--dim", "256", "--num-queries", "3", "--num-proposals", "2",
+          "--enc-layers", "1", "--dec-layers", "1",
+          "--backbone", "faster_vit_0_any_res", "--score-thresh", "0.0",
+          "--exact", "--track-capacity", "4"])
+    assert (outdir / "seq01.txt").exists()
