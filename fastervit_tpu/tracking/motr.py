@@ -224,8 +224,14 @@ def motr_inference_sequence(apply_fn, variables, frames,
         active = (state.ids >= 0) & (state.misses == 0)
         results.append({
             "ids": state.ids[active].copy(),
-            "boxes": np.asarray(box_cxcywh_to_xyxy(jnp.asarray(
-                state.boxes[active]))),
+            # host-side conversion (an eager jnp op per frame would be a
+            # device round trip through the relay)
+            "boxes": np.stack([
+                state.boxes[active][:, 0] - 0.5 * state.boxes[active][:, 2],
+                state.boxes[active][:, 1] - 0.5 * state.boxes[active][:, 3],
+                state.boxes[active][:, 0] + 0.5 * state.boxes[active][:, 2],
+                state.boxes[active][:, 1] + 0.5 * state.boxes[active][:, 3]],
+                -1),
             "scores": state.scores[active].copy(),
         })
     return results

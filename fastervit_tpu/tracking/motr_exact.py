@@ -205,7 +205,12 @@ def exact_inference_sequence(apply_fn, qim_fn, variables, frames,
     detector output dict; qim_fn(out_embed, query_feat, ref_pts, scores,
     active_mask) -> refreshed query features.
     """
-    from fastervit_tpu.ops.boxes import box_cxcywh_to_xyxy
+    def _cxcywh_to_xyxy_np(b):
+        # host-side: an eager jnp op here would be a device round trip
+        # per frame through the relay
+        cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return np.stack([cx - 0.5 * w, cy - 0.5 * h,
+                         cx + 0.5 * w, cy + 0.5 * h], -1)
 
     cap = track_capacity
     fresh = num_queries + num_proposals
@@ -252,8 +257,7 @@ def exact_inference_sequence(apply_fn, qim_fn, variables, frames,
         active = valid & (obj >= 0)
         results.append({
             "ids": obj[active].copy(),
-            "boxes": np.asarray(box_cxcywh_to_xyxy(
-                jnp.asarray(boxes[active]))),
+            "boxes": _cxcywh_to_xyxy_np(boxes[active]),
             "scores": scores[active].copy(),
         })
 
