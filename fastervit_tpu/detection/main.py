@@ -125,17 +125,20 @@ def main(argv=None):
         variables = convert_dino_state_dict(sd, variables)
         log.info("loaded reference checkpoint %s", args.checkpoint)
 
+    train_ds = None
+    if not args.synthetic and not args.eval:
+        train_ds = CocoDetectionDataset(
+            os.path.join(args.coco_path, "train2017"),
+            os.path.join(args.coco_path, "annotations",
+                         "instances_train2017.json"),
+            image_size=(size, size))
+
     def train_batches():
         if args.synthetic:
             yield from _synthetic_batches(4, batch_size, size,
                                           det.num_classes)
         else:
-            ds = CocoDetectionDataset(
-                os.path.join(args.coco_path, "train2017"),
-                os.path.join(args.coco_path, "annotations",
-                             "instances_train2017.json"),
-                image_size=(size, size))
-            yield from ds.batches(batch_size)
+            yield from train_ds.batches(batch_size)
 
     def val_batches():
         if args.synthetic:
@@ -161,7 +164,11 @@ def main(argv=None):
     # per-module LRs with the reference's step drop at lr_drop epochs
     # (dino/main.py:230-238; StepLR gamma 0.1)
     import optax
-    steps_per_epoch = max(1, 4 if args.synthetic else 1000)
+    # lr_drop is an EPOCH boundary (dino StepLR); convert to steps using
+    # the real dataset length so the drop fires at epoch lr_drop, not at a
+    # hardcoded step count
+    steps_per_epoch = max(
+        1, 4 if args.synthetic else len(train_ds) // batch_size)
     drop = int(cfg.get("lr_drop", 11)) * steps_per_epoch
 
     def sched(base):

@@ -18,7 +18,8 @@ from fastervit_tpu.detection.convert import _linear, _mha_getter
 log = logging.getLogger(__name__)
 
 _LEAF = {"kernel": "weight", "bias": "bias", "scale": "weight",
-         "embedding": "weight"}
+         "embedding": "weight", "mean": "running_mean",
+         "var": "running_var"}
 
 
 def motr_torch_key(parts: Tuple[str, ...]) -> Optional[str]:

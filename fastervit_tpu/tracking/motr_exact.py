@@ -183,7 +183,8 @@ def exact_inference_sequence(apply_fn, qim_fn, variables, frames,
                              track_capacity: int = 50,
                              score_thresh: float = 0.6,
                              filter_score_thresh: float = 0.5,
-                             miss_tolerance: int = 10):
+                             miss_tolerance: int = 10,
+                             prob_threshold: Optional[float] = None):
     """Streaming inference with the reference's exact per-frame semantics
     (motr.py inference_single_image + _post_process_single_image +
     RuntimeTrackerBase, eval path):
@@ -255,10 +256,17 @@ def exact_inference_sequence(apply_fn, qim_fn, variables, frames,
         obj[gone & (disappear >= miss_tolerance)] = -1
 
         active = valid & (obj >= 0)
+        # written detections additionally pass the reference's per-frame
+        # score filter (submit_dance.py:146 filter_dt_by_score with
+        # prob_threshold); coasting tracks below it are still CARRIED to
+        # the next frame, just not emitted. The area>100px filter runs in
+        # the caller once boxes are in original-image pixels.
+        emit_thr = score_thresh if prob_threshold is None else prob_threshold
+        emit = active & (scores > emit_thr)
         results.append({
-            "ids": obj[active].copy(),
-            "boxes": _cxcywh_to_xyxy_np(boxes[active]),
-            "scores": scores[active].copy(),
+            "ids": obj[emit].copy(),
+            "boxes": _cxcywh_to_xyxy_np(boxes[emit]),
+            "scores": scores[emit].copy(),
         })
 
         # QIMv2 on the active set; anchors positives on predicted boxes

@@ -125,10 +125,16 @@ def _run_exact(args, sequences):
         sd = torch.load(args.reference_checkpoint, map_location="cpu",
                         weights_only=False)
         sd = sd.get("model", sd.get("state_dict", sd))
+        # convert the FULL variables dict: backbone BatchNorm running
+        # stats live in batch_stats, not params (motr checkpoint keys
+        # backbone.0.*.running_{mean,var})
         merged = {"params": dict(variables["params"], qim=vq["params"])}
+        for coll, tree in variables.items():
+            if coll != "params":
+                merged[coll] = tree
         merged = convert_motr_checkpoint(sd, merged)
         vq = {"params": merged["params"].pop("qim")}
-        variables = {**variables, "params": merged["params"]}
+        variables = {**merged}
         log.info("converted reference checkpoint %s",
                  args.reference_checkpoint)
 
@@ -147,6 +153,12 @@ def _run_exact(args, sequences):
             miss_tolerance=args.miss_tolerance)
         for res, (w0, h0) in zip(results, sizes):
             res["boxes"] = res["boxes"] * np.asarray([w0, h0, w0, h0])
+            # reference area filter (submit_dance.py:115-118): drop boxes
+            # with area <= 100 px in original-image coordinates
+            wh = res["boxes"][:, 2:4] - res["boxes"][:, 0:2]
+            keep = (wh[:, 0] * wh[:, 1]) > 100.0
+            for k in ("ids", "boxes", "scores"):
+                res[k] = res[k][keep]
         write_mot_file(os.path.join(args.output, f"{seq}.txt"), results)
         log.info("%s (exact): %d frames in %.0fs", seq, len(frames),
                  time.time() - t0)
@@ -202,6 +214,12 @@ def main(argv=None):
         # boxes are normalized cxcywh -> absolute xyxy per original size
         for res, (w0, h0) in zip(results, sizes):
             res["boxes"] = res["boxes"] * np.asarray([w0, h0, w0, h0])
+            # reference area filter (submit_dance.py:115-118): drop boxes
+            # with area <= 100 px in original-image coordinates
+            wh = res["boxes"][:, 2:4] - res["boxes"][:, 0:2]
+            keep = (wh[:, 0] * wh[:, 1]) > 100.0
+            for k in ("ids", "boxes", "scores"):
+                res[k] = res[k][keep]
         write_mot_file(os.path.join(args.output, f"{seq}.txt"), results)
         log.info("%s: %d frames in %.0fs", seq, len(frames),
                  time.time() - t0)

@@ -118,7 +118,9 @@ class MOTRTransformer(nn.Module):
                 tgt, qp, ref_input, memory, spatial_shapes, None,
                 deterministic, mask)
             delta = bbox_heads[i](tgt)
-            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
+            # MOTR's util/misc.py inverse_sigmoid uses eps=1e-5 (vs DINO's
+            # 1e-3); matters for boxes hugging the frame edge
+            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(refs, eps=1e-5))
             refs = jax.lax.stop_gradient(new_ref)
             hidden_out.append(tgt)
             refs_out.append(refs)
