@@ -63,31 +63,32 @@ def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
                 idsw += 1
             prev_match[g] = p
     mota = 1.0 - (fn + fp + idsw) / max(1, gt_total)
-    # track-level stats: mostly-tracked (>80% of frames matched), mostly-lost
-    # (<20%), fragmentations (matched->unmatched transitions)
+    # track-level stats (TrackEval clear.py:99-122): MT tracked-ratio > 0.8,
+    # PT >= 0.2, ML the rest; Frag counts untracked->tracked re-acquisitions
+    # (any unmatched or absent timestep breaks the run) minus the first
+    # acquisition per gt id
     g = data["num_gt_ids"]
     gt_frames = np.zeros(g)
     matched_frames = np.zeros(g)
-    frag = 0
+    frag_count = np.zeros(g)
     prev_matched = np.zeros(g, bool)
     for t in range(len(data["gt_ids"])):
         gids = np.asarray(data["gt_ids"][t])
         gt_frames[gids] += 1
-        present = np.zeros(g, bool)
-        present[gids] = True
         now = np.zeros(g, bool)
         for gid in matched_per_frame[t]:
             now[gid] = True
         matched_frames[now] += 1
-        # fragmentation: was matched, still present, now unmatched; absence
-        # from gt does not break a track (TrackEval convention)
-        frag += int(np.sum(prev_matched & present & ~now))
-        prev_matched = now | (prev_matched & ~present)
-    ratio = matched_frames / np.maximum(gt_frames, 1)
+        frag_count += (~prev_matched) & now
+        prev_matched = now
+    frag = int(np.sum(frag_count[frag_count > 0] - 1))
+    ratio = matched_frames[gt_frames > 0] / gt_frames[gt_frames > 0]
+    mt = int((ratio > 0.8).sum())
+    pt = int((ratio >= 0.2).sum()) - mt
     return {"MOTA": mota, "MOTP": motp_sum / max(1, tp), "CLR_TP": tp,
             "CLR_FN": fn, "CLR_FP": fp, "IDSW": idsw,
             "CLR_Re": tp / max(1, tp + fn), "CLR_Pr": tp / max(1, tp + fp),
-            "MT": int((ratio > 0.8).sum()), "ML": int((ratio < 0.2).sum()),
+            "MT": mt, "PT": pt, "ML": int((gt_frames > 0).sum()) - mt - pt,
             "Frag": frag}
 
 

@@ -115,9 +115,11 @@ def test_mt_ml_frag():
          "similarity_scores": sims}
     c = clear_metrics(d)
     assert c["MT"] == 1          # gt0 (4/4); gt2 at 3/4 = 0.75 is not > 0.8
-    assert c["ML"] == 0          # gt1 at 1/4 = 0.25 is not < 0.2
-    # gt1: matched f0 -> lost f1 (1 frag); gt2: matched f0 -> lost f1 -> back
-    assert c["Frag"] == 2
+    assert c["PT"] == 2          # gt1 (0.25) and gt2 (0.75) in [0.2, 0.8]
+    assert c["ML"] == 0
+    # TrackEval clear.py:107,122 counts RE-acquisitions: gt2 is re-acquired
+    # after the frame-1 gap (1 frag); gt1 is lost but never re-acquired (0)
+    assert c["Frag"] == 1
 
 
 def test_vace_hand_computed():
