@@ -5,3 +5,4 @@ _base_ = ["dino_4scale_faster_vit_4_21k_224.py"]
 
 num_feature_levels = 5
 return_interm_indices = [0, 1, 2, 3]
+use_checkpoint = False
