@@ -47,6 +47,14 @@ def parse_args(argv=None):
     p.add_argument("--dec-layers", type=int, default=3)
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--clips-per-epoch", type=int, default=100)
+    p.add_argument("--joint-static-txt", default="",
+                   help="CrowdHuman-style data_txt of static images: enables "
+                        "joint multi-dataset training (reference "
+                        "datasets/joint.py)")
+    p.add_argument("--joint-static-root", default="",
+                   help="root the data_txt paths are relative to")
+    p.add_argument("--shift-padding", type=int, default=50,
+                   help="static pseudo-clip shift jitter in px")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic clips smoke run")
     p.add_argument("--seed", type=int, default=42)
@@ -92,6 +100,20 @@ def _dance_clips(sampler, args, rng):
         yield np.stack(frames), targets, np.stack(props)
 
 
+def _joint_clips(sampler, args, rng):
+    """Normalized clips from a JointClips sampler (mixed video + static
+    pseudo-clip sources)."""
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    n = 0
+    for frames, targets, props in sampler.clip_batches(
+            1, rng, (args.img_height, args.img_width), with_proposals=True):
+        yield (frames - mean) / std, targets, props
+        n += 1
+        if n >= args.clips_per_epoch:
+            return
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
@@ -117,12 +139,27 @@ def main(argv=None):
     sampler = None
     if not args.synthetic:
         from fastervit_tpu.tracking.dance_data import DanceTrackClips
-        sampler = DanceTrackClips(
-            args.mot_path, sample_interval=args.sample_interval,
-            sampler_steps=args.sampler_steps,
-            sampler_lengths=args.sampler_lengths,
-            det_db=args.det_db or None,
-            num_proposals=args.num_proposals)
+        sources = []
+        if args.mot_path:
+            sources.append(DanceTrackClips(
+                args.mot_path, sample_interval=args.sample_interval,
+                sampler_steps=args.sampler_steps,
+                sampler_lengths=args.sampler_lengths,
+                det_db=args.det_db or None,
+                num_proposals=args.num_proposals))
+        if args.joint_static_txt:
+            from fastervit_tpu.tracking.joint_data import (JointClips,
+                                                           StaticImageClips)
+            sources.append(StaticImageClips(
+                args.joint_static_txt, args.joint_static_root,
+                shift_padding=args.shift_padding,
+                num_proposals=args.num_proposals,
+                video_offset=10_000))
+            sampler = JointClips(sources,
+                                 sampler_steps=args.sampler_steps,
+                                 sampler_lengths=args.sampler_lengths)
+        else:
+            sampler = sources[0]
 
     os.makedirs(args.output, exist_ok=True)
     rng = np.random.RandomState(args.seed)
@@ -130,7 +167,10 @@ def main(argv=None):
         t0 = time.time()
         if sampler is not None:
             sampler.set_epoch(epoch)
-            clips = _dance_clips(sampler, args, rng)
+            if args.joint_static_txt:
+                clips = _joint_clips(sampler, args, rng)
+            else:
+                clips = _dance_clips(sampler, args, rng)
         else:
             clips = _synthetic_clips(2, max(args.sampler_lengths),
                                      args.img_height, args.img_width,
