@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--config", default="", help="YAML config with defaults")
     p.add_argument("--model", default="faster_vit_0_224")
+    p.add_argument("--model-kwargs", default="",
+                   help="JSON kwargs forwarded to create_model "
+                        "(e.g. '{\"resolution\": 288}')")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--lmdb-dataset", action="store_true",
                    help="LMDB-backed ImageNet (reference --lmdb_dataset, utils/datasets.py:458-498)")
@@ -62,7 +65,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mixup-prob", type=float, default=1.0)
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
     p.add_argument("--mixup-off-epoch", type=int, default=0)
-    p.add_argument("--model-ema", action="store_true", default=True)
+    p.add_argument("--model-ema", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--model-ema-decay", type=float, default=0.9998)
     p.add_argument("--mesa", type=float, default=0.0)
     p.add_argument("--mesa-start-ratio", type=float, default=0.25)
@@ -70,6 +74,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resume", default="")
+    p.add_argument("--auto-resume", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="restore the newest checkpoint in the output dir on "
+                        "start (requeue/preemption relaunch flow)")
     p.add_argument("--loadcheckpoint", default="",
                    help="warm start: shape-filtered torch/orbax weights")
     p.add_argument("--output", default="./output")
@@ -141,6 +149,9 @@ def train(args) -> dict:
     overrides = {"num_classes": args.num_classes}
     if args.drop_path is not None:
         overrides["drop_path_rate"] = args.drop_path
+    if args.model_kwargs:
+        import json
+        overrides.update(json.loads(args.model_kwargs))
     model = create_model(args.model, dtype=dtype, **overrides)
 
     sched_cfg = ScheduleConfig(
@@ -185,6 +196,11 @@ def train(args) -> dict:
         if restored is not None:
             state = restored
             log.info("resumed at step %d", int(state.step))
+    else:
+        # requeue relaunch: auto-restore the newest checkpoint in output/
+        # (reference run_with_submitit.py:13-50 + train.py:505-516)
+        from fastervit_tpu.utils.preemption import maybe_auto_resume
+        state, _ = maybe_auto_resume(ckpt, state, args.auto_resume)
 
     train_loader, eval_loader = _make_loaders(args, model.cfg.data)
 
@@ -224,6 +240,8 @@ def train(args) -> dict:
     best = -float("inf")
     summary_path = os.path.join(args.output, "summary.csv")
     rng = jax.random.PRNGKey(args.seed)
+    from fastervit_tpu.utils.preemption import PreemptionHandler
+    preempt = PreemptionHandler().install()
     with mesh:
         state = jax.device_put(state, repl)
         for epoch in range(num_epochs):
@@ -239,6 +257,10 @@ def train(args) -> dict:
                 b = {k: jax.device_put(jnp.asarray(v), bsh)
                      for k, v in batch.items() if k != "valid"}
                 state, metrics = step_fn(state, b, rng)
+                if preempt.preempted:
+                    # SIGTERM/SIGUSR1: save synchronously, exit 75 so the
+                    # launcher requeues; next run auto-resumes from here
+                    preempt.checkpoint_and_exit(ckpt, int(state.step), state)
                 if i % args.log_interval == 0:
                     metrics = jax.tree.map(lambda x: x.item(), metrics)
                     if not np.isfinite(metrics["loss"]):
