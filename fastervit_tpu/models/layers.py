@@ -511,7 +511,8 @@ class HAT(nn.Module):
                 "fc2_w": fc2_w.astype(cd), "fc2_b": fc2_b,
                 "gamma4": g_mlp if not isinstance(g_mlp, float) else ones,
             }
-            if deterministic and fused_block_supported(x.shape, params):
+            if deterministic and fused_block_supported(x.shape, params,
+                                                       self.num_heads):
                 interpret = not attention_ops._on_tpu()
                 return fused_hat_block(x, params, bias, self.num_heads,
                                        scale, interpret)

@@ -25,7 +25,7 @@ _DEFAULT_IMPL = "auto"
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("auto", "jnp", "pallas")
+    assert impl in ("auto", "jnp", "pallas", "flash")
     _DEFAULT_IMPL = impl
 
 
@@ -68,9 +68,16 @@ def window_mhsa(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
     projection output. qkv: (B, S, 3C) (channel layout (3, H, hd)); bias:
     (H, S, S). Returns (B, S, C) context — the model's hot path."""
     impl = _resolve_impl(impl, can_fuse=(attn_drop == 0.0 or deterministic))
-    if impl == "pallas":
-        from fastervit_tpu.ops.pallas_attention import fused_window_mhsa
-        return fused_window_mhsa(qkv, bias, num_heads, scale)
+    if impl in ("pallas", "flash"):
+        b, s, c3 = qkv.shape
+        from fastervit_tpu.ops.pallas_attention import (fused_window_mhsa,
+                                                        packed_supported)
+        if impl == "pallas" and packed_supported(b, s, c3 // 3, num_heads,
+                                                 qkv.dtype.itemsize):
+            return fused_window_mhsa(qkv, bias, num_heads, scale)
+        # large-window shapes (21k-384/512/768): VMEM-safe Q-tiled kernel
+        from fastervit_tpu.ops.pallas_flash_attention import flash_window_mhsa
+        return flash_window_mhsa(qkv, bias, num_heads, scale)
     b, s, c3 = qkv.shape
     hd = c3 // 3 // num_heads
     parts = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
@@ -83,8 +90,18 @@ def bias_attention(q, k, v, bias, scale, *, attn_drop: float = 0.0,
                    deterministic: bool = True, dropout_rng=None,
                    impl: str = "auto") -> jnp.ndarray:
     impl = _resolve_impl(impl, can_fuse=(attn_drop == 0.0 or deterministic))
-    if impl == "pallas":
-        from fastervit_tpu.ops.pallas_attention import fused_bias_attention
+    if impl in ("pallas", "flash"):
+        bq, h, s, d = q.shape
+        from fastervit_tpu.ops.pallas_attention import (fused_bias_attention,
+                                                        packed_supported)
+        if impl == "flash" or not packed_supported(bq, s, h * d, h,
+                                                   q.dtype.itemsize):
+            from fastervit_tpu.ops.pallas_flash_attention import (
+                flash_window_mhsa)
+            pack = jnp.stack([q, k, v], axis=0)
+            qkv = pack.transpose(1, 3, 0, 2, 4).reshape(bq, s, 3 * h * d)
+            out = flash_window_mhsa(qkv, bias, h, scale)
+            return out.reshape(bq, s, h, d).transpose(0, 2, 1, 3)
         return fused_bias_attention(q, k, v, bias, scale)
     return bias_attention_reference(q, k, v, bias, scale, attn_drop,
                                     deterministic, dropout_rng)

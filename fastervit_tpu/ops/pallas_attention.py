@@ -38,6 +38,25 @@ def _pick_block_b(b: int, row_bytes: int = 0,
     return 1
 
 
+_TOTAL_BUDGET = 12 * 1024 * 1024
+
+
+def packed_supported(b: int, s: int, c: int, num_heads: int,
+                     itemsize: int) -> bool:
+    """Whether this shape fits the packed single-tile kernel's VMEM budget,
+    counting the grid-invariant (H, S, S) f32 bias (which `_pick_block_b`
+    does not) and the BACKWARD kernel's larger working set (bias in + dbias
+    out). Shapes over budget route to the Q-tiled flash kernel instead —
+    the 21k large-window stages (S = 576/1024/2304, faster_vit.py:1297-1410)
+    would otherwise demand 21..340 MB of VMEM and fail to compile on TPU."""
+    p = _pack_factor(b, s)
+    sp = p * s
+    bias_bytes = num_heads * sp * sp * 4
+    fwd = bias_bytes + _fwd_row_bytes(sp, c, num_heads, itemsize)
+    bwd = 2 * bias_bytes + _bwd_row_bytes(sp, c, num_heads, itemsize)
+    return max(fwd, bwd) <= _TOTAL_BUDGET
+
+
 def _fwd_row_bytes(s: int, c: int, num_heads: int, itemsize: int) -> int:
     # in/out tiles are double-buffered by the Mosaic pipeline (x2); f32
     # logits/probs scratch is not

@@ -190,19 +190,24 @@ def _weights_bytes(params):
 
 
 def _row_bytes(s: int, c: int, hidden: int) -> int:
-    """Rough fp32 VMEM bytes per packed sequence row of activations."""
-    return s * (c * 10 + hidden) * 4
+    """Rough fp32 VMEM bytes per packed sequence row of activations,
+    including the (S, S) f32 logits + probs the attention section holds."""
+    return s * (c * 10 + hidden) * 4 + 2 * s * s * 4
 
 
-def fused_block_supported(x_shape, params,
+def fused_block_supported(x_shape, params, num_heads: int = 0,
                           weight_limit: int = 8 * 1024 * 1024,
                           act_limit: int = 6 * 1024 * 1024) -> bool:
     """Whether the whole block fits VMEM (weights grid-invariant + one
-    activation tile). Large-C/long-S variants fall back to the composed path."""
-    _, s, c = x_shape
+    activation tile + the grid-invariant (H, S, S) f32 attention bias).
+    Large-C/long-S variants fall back to the composed path."""
+    b, s, c = x_shape
+    p = _pack_factor(b, s)
+    sp = p * s
     hidden = params["fc1_w"].shape[1]
-    return (_weights_bytes(params) <= weight_limit
-            and _row_bytes(s, c, hidden) <= act_limit)
+    bias_bytes = num_heads * sp * sp * 4
+    return (_weights_bytes(params) + bias_bytes <= weight_limit
+            and _row_bytes(sp, c, hidden) <= act_limit)
 
 
 def _forward(x, params, bias, num_heads, scale, interpret, dp1=None, dp2=None):

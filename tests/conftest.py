@@ -27,3 +27,6 @@ def cpu_devices():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running parity/bench tests")
+    config.addinivalue_line(
+        "markers", "smoke: fast tier (<2 min single-core, no heavy jit) — "
+        "run with `pytest -m smoke` for quick iteration")

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fastervit_tpu.tracking.benchmarks import (DanceTrackDataset,
                                                MOTChallengeDataset,
                                                combine_sequence_data,

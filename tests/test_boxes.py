@@ -6,6 +6,9 @@ from fastervit_tpu.ops.boxes import (box_cxcywh_to_xyxy, box_iou,
                                      box_xyxy_to_cxcywh,
                                      generalized_box_iou,
                                      hungarian_cost_matrix, hungarian_match)
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_box_conversions_roundtrip():

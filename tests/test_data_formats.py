@@ -8,6 +8,9 @@ from PIL import Image
 from fastervit_tpu.tracking.mot_data import (build_eval_data,
                                              evaluate_mot_files,
                                              load_mot_file, write_mot_file)
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_mot_roundtrip_and_perfect_hota(tmp_path):

@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fastervit_tpu.detection.dino import build_dino_from_config
 from fastervit_tpu.utils.pyconfig import PyConfig
 

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fastervit_tpu.detection.panoptic import (CocoPanopticDataset, id2rgb,
                                               masks_to_boxes,
                                               postprocess_panoptic, rgb2id)

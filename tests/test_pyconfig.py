@@ -3,6 +3,8 @@ overrides (reference util/slconfig.py semantics)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from fastervit_tpu.utils.pyconfig import PyConfig
 
 

@@ -5,6 +5,9 @@ import numpy as np
 
 from fastervit_tpu.tracking.metrics import (clear_metrics, evaluate_sequences,
                                             hota_metrics, identity_metrics)
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _seq_perfect(T=5, n=2):

@@ -7,6 +7,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 from PIL import Image
 
 from fastervit_tpu.tracking.tools import (build_det_db, merge_tracklet_dir,

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from fastervit_tpu.ops.windows import (ct_dewindow, ct_window,
                                        nearest_upsample_tokens,
                                        window_partition, window_reverse)
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_window_partition_ordering():
