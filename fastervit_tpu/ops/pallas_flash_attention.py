@@ -70,6 +70,19 @@ def _split_heads(qkv: jnp.ndarray, num_heads: int):
     return parts[0], parts[1], parts[2]
 
 
+def _pad_hd(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the head dim to a 128-lane multiple. Mosaic compile time is
+    pathological for unaligned minor block dims (measured on v5e: hd 49/64
+    at 16 heads -> 1.5-8 MINUTES per kernel vs ~1s at hd 128); the zeros are
+    free — K-dim zeros don't change q k^T, zero V columns slice off, and the
+    MXU pads K<128 internally anyway."""
+    hd = x.shape[-1]
+    pad = (-hd) % 128
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+
+
 def _merge_heads(ctx: jnp.ndarray) -> jnp.ndarray:
     b, h, s, hd = ctx.shape
     return ctx.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
@@ -250,7 +263,10 @@ def flash_window_mhsa(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
     kernel. qkv: (B, S, 3C) channel layout (3, H, hd); bias: (H, S, S).
     Returns (B, S, C)."""
     q, k, v = _split_heads(qkv, num_heads)
-    return _merge_heads(_flash_forward(q, k, v, bias, scale, interpret))
+    hd = q.shape[-1]
+    ctx = _flash_forward(_pad_hd(q), _pad_hd(k), _pad_hd(v), bias, scale,
+                         interpret)
+    return _merge_heads(ctx[..., :hd])
 
 
 def _fwd(qkv, bias, num_heads, scale, interpret):
@@ -264,7 +280,10 @@ def _bwd(num_heads, scale, interpret, res, g):
     hd = c3 // 3 // num_heads
     q, k, v = _split_heads(qkv, num_heads)
     gh = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-    dq, dk, dv, dbias = _flash_backward(q, k, v, bias, gh, scale, interpret)
+    dq, dk, dv, dbias = _flash_backward(
+        _pad_hd(q), _pad_hd(k), _pad_hd(v), bias, _pad_hd(gh), scale,
+        interpret)
+    dq, dk, dv = dq[..., :hd], dk[..., :hd], dv[..., :hd]
     dqkv = jnp.stack([dq, dk, dv], axis=0)             # (3, B, H, S, hd)
     dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, c3)
     return dqkv, dbias.astype(bias.dtype)
