@@ -141,3 +141,51 @@ def test_parity_faster_vit_4_21k_224():
     diff = _compare("faster_vit_4_21k_224", {}, {}, (224, 224), batch=1,
                     atol=5e-4)
     print("max |diff| fv4-21k:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_4_224():
+    diff = _compare("faster_vit_4_224", {}, {}, (224, 224), batch=1,
+                    atol=5e-4)
+    print("max |diff| fv4:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_5_224():
+    """975M params — the largest hat-propagation variant."""
+    diff = _compare("faster_vit_5_224", {}, {}, (224, 224), batch=1,
+                    atol=1e-3)
+    print("max |diff| fv5:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_6_224():
+    """1.36B params (reference README.md:212-221)."""
+    diff = _compare("faster_vit_6_224", {}, {}, (224, 224), batch=1,
+                    atol=1e-3)
+    print("max |diff| fv6:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_4_21k_384():
+    """Large-window variant at native res: stage-2 S=576 takes the flash
+    attention path on TPU, jnp here (faster_vit.py:1297-1326)."""
+    diff = _compare("faster_vit_4_21k_384", {}, {}, (384, 384), batch=1,
+                    atol=1e-3)
+    print("max |diff| fv4-21k-384:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_4_21k_512():
+    diff = _compare("faster_vit_4_21k_512", {}, {}, (512, 512), batch=1,
+                    atol=1e-3)
+    print("max |diff| fv4-21k-512:", diff)
+
+
+@pytest.mark.slow
+def test_parity_faster_vit_4_21k_768():
+    """S=2304 windows — the largest attention extent in the family
+    (faster_vit.py:1381-1410)."""
+    diff = _compare("faster_vit_4_21k_768", {}, {}, (768, 768), batch=1,
+                    atol=2e-3)
+    print("max |diff| fv4-21k-768:", diff)
