@@ -151,8 +151,12 @@ def hat_block_reference(x, params, bias, num_heads: int, scale: float,
     qkv3 = (y.astype(x.dtype) @ params["qkv_w"]).astype(jnp.float32) + params["qkv_b"]
     qkv3 = qkv3.astype(x.dtype)
     if attn_impl == "pallas":
-        from fastervit_tpu.ops.pallas_attention import fused_window_mhsa
-        ctx = fused_window_mhsa(qkv3, bias, num_heads, scale, False)
+        # VMEM-gated dispatch (NOT fused_window_mhsa directly): large-window
+        # shapes (21k-384/512/768, S>=576) exceed the packed kernel's scoped
+        # vmem (17.4MB vs the 16MB limit at S=576) and must take the Q-tiled
+        # flash kernel; window_mhsa routes on packed_supported().
+        from fastervit_tpu.ops.attention import window_mhsa
+        ctx = window_mhsa(qkv3, bias, num_heads, scale, impl="pallas")
     else:
         qkv = qkv3.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]

@@ -67,6 +67,15 @@ def subset_logit_mask(classes, class_index_file: str, num_classes: int = 1000):
     return mask, class_to_idx
 
 
+def imagenet_v2_class_to_idx(classes):
+    """ImageNet-V2 folder layout adapter: top-level dirs are the 1k class
+    INDICES as strings ("0".."999", matchedfrequency/threshold0.7/topimages
+    releases all share it) — labels are the folder names parsed as ints, not
+    the sorted-lexicographic enumeration ImageFolder would produce (which
+    mis-sorts "10" < "2"). Robustness protocol: README.md:286-367 V2 rows."""
+    return {c: int(c) for c in classes}
+
+
 def validate(model, variables, loader, mesh=None, dtype=jnp.float32,
              logit_mask=None, tta: int = 0, real_labels=None) -> dict:
     """Run eval; returns {'top1', 'top5', 'loss', 'img_s', 'count'}.
@@ -155,7 +164,10 @@ def main(argv=None):
                    help="random data (smoke test / throughput only)")
     p.add_argument("--class-index-file", default="",
                    help="1k wnid list (one per line, index order) enabling "
-                        "ImageNet-A/R/V2-style subset evaluation")
+                        "ImageNet-A/R-style subset evaluation")
+    p.add_argument("--imagenet-v2", action="store_true",
+                   help="data-dir uses the ImageNet-V2 layout (folders are "
+                        "class indices '0'..'999')")
     args = p.parse_args(argv)
 
     names = list_models(args.model) or [args.model]
@@ -179,7 +191,10 @@ def main(argv=None):
         else:
             from fastervit_tpu.data.imagenet import EvalLoader, index_image_folder
             class_to_idx = None
-            if args.class_index_file:
+            if args.imagenet_v2:
+                class_to_idx = imagenet_v2_class_to_idx(
+                    index_image_folder(args.data_dir)[2])
+            elif args.class_index_file:
                 classes = index_image_folder(args.data_dir)[2]
                 logit_mask, class_to_idx = subset_logit_mask(
                     classes, args.class_index_file, model.cfg.num_classes)

@@ -1,0 +1,189 @@
+"""Per-component latency breakdown for the downstream paths on one TPU chip
+(VERDICT r1 weak #4/#5: "nothing in-tree measures where the time goes").
+
+Method: differential jit timing. Each component config (backbone-only, 1 vs 6
+encoder layers, 1 vs 6 decoder layers, fwd vs fwd+bwd) is jitted separately
+and timed with the chained-fetch protocol (host fetch is the only true
+barrier through the device relay; iterations chain through a scalar carry so
+they serialize; the first measured program per process is discarded).
+Per-layer costs come from differences: (enc6 - enc1)/5 etc.
+
+Writes PROFILE_DOWNSTREAM.json and prints a table.
+
+Usage:
+    python scripts/profile_downstream.py [--which dino,motr] [--iters 10]
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_fn(fn, args, iters=10, warm=2):
+    """Chained in-program timing: fn(*args) -> pytree; chain a scalar from
+    one output leaf into a dummy carry so executions serialize."""
+    leaf = None
+
+    @jax.jit
+    def step(s, *a):
+        out = fn(*a)
+        first = jax.tree.leaves(out)[0]
+        return out, s + first.reshape(-1)[0].astype(jnp.float32)
+
+    s = jnp.zeros((), jnp.float32)
+    t0 = time.time()
+    out, s = step(s, *args)
+    float(s)
+    compile_s = time.time() - t0
+    for _ in range(warm):
+        out, s = step(s, *args)
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, s = step(s, *args)
+    float(s)
+    return (time.perf_counter() - t0) / iters, compile_s
+
+
+def profile_dino(iters):
+    """DINO train-step breakdown at the ROUND_NOTES config: fv0 4-scale,
+    640x640, batch 2, f32 (759 ms/step baseline)."""
+    from fastervit_tpu.detection.dino import DINODetector
+    from fastervit_tpu.detection.engine import (detection_loss, loss_layers,
+                                                make_cost_fn, pad_targets,
+                                                solve_assignments)
+    from fastervit_tpu.models.fastervit import FasterViTPyramid
+    from fastervit_tpu.models.registry import get_config
+
+    cfg = get_config("faster_vit_0_224", resolution=640)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 640, 640, 3), jnp.float32)
+    rows = {}
+
+    # backbone alone
+    bb = FasterViTPyramid(cfg)
+    vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x[:1])
+    t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
+    rows["backbone_fwd"] = t
+
+    # full detector at (enc, dec) layer-count variants
+    dets, vs = {}, {}
+    for key, (e, d) in {"full": (6, 6), "enc1": (1, 6), "dec1": (6, 1)}.items():
+        det = DINODetector(backbone_cfg=cfg, num_classes=91, dim=256,
+                           num_queries=900, enc_layers=e, dec_layers=d,
+                           num_feature_levels=4)
+        v = jax.jit(det.init)(jax.random.PRNGKey(0), x[:1])
+        t, c = time_fn(lambda v, x, det=det: det.apply(v, x), (v, x), iters)
+        rows[f"fwd_{key}"] = t
+        dets[key], vs[key] = det, v
+
+    rows["per_enc_layer_fwd"] = (rows["fwd_full"] - rows["fwd_enc1"]) / 5
+    rows["per_dec_layer_fwd"] = (rows["fwd_full"] - rows["fwd_dec1"]) / 5
+
+    # train step: cost fwd + host LP + grad step (two-phase engine)
+    det, v = dets["full"], vs["full"]
+    targets = [{"boxes": np.asarray([[0.5, 0.5, 0.2, 0.2]] * 8, np.float32),
+                "labels": np.asarray([1] * 8, np.int32)} for _ in range(2)]
+    tgt = jax.tree.map(jnp.asarray, pad_targets(targets, 20))
+    fwd = jax.jit(lambda p, x: det.apply(
+        {"params": p, "batch_stats": v.get("batch_stats", {})}, x))
+    out = fwd(v["params"], x)
+    costs = make_cost_fn(len(loss_layers(out)[0]))(out, tgt)
+    costs_np = [np.asarray(c) for c in costs]
+    t0 = time.perf_counter()
+    for _ in range(10):
+        assignment = solve_assignments(costs_np, np.asarray(tgt["mask"]))
+    rows["host_hungarian"] = (time.perf_counter() - t0) / 10
+    assignment = jnp.asarray(assignment)
+
+    def grad_step(p, x, tgt, assignment):
+        def loss_fn(p):
+            out = det.apply({"params": p,
+                             "batch_stats": v.get("batch_stats", {})}, x)
+            return detection_loss(out, tgt, assignment, det.num_classes)[0]
+        return jax.grad(loss_fn)(p)
+
+    t, c = time_fn(grad_step, (v["params"], x, tgt, assignment), iters)
+    rows["fwd_bwd"] = t
+    rows["train_step_total"] = rows["fwd_full"] + rows["host_hungarian"] + t
+    return rows
+
+
+def profile_motr(iters):
+    """MOTR exact streaming-frame breakdown at the submit config: fv0
+    dynamic backbone (strides 4-32), 1536x800, 10+50 queries, f32
+    (1.64 s/frame baseline; S = 102k encoder tokens)."""
+    from fastervit_tpu.models.fastervit import FasterViTPyramid
+    from fastervit_tpu.models.registry import get_config
+    from fastervit_tpu.tracking.motr_exact import MOTRDetectorExact
+
+    cfg = get_config("faster_vit_0_224", resolution=1536)
+    rng = np.random.RandomState(0)
+    # submit_dance resolution: 800 x 1536 (h x w)
+    x = jnp.asarray(rng.randn(1, 800, 1536, 3), jnp.float32)
+    nq = 60
+    qp = jnp.asarray(rng.randn(1, nq, 256), jnp.float32)
+    rp = jnp.asarray(rng.rand(1, nq, 4), jnp.float32)
+    rows = {}
+
+    bb = FasterViTPyramid(cfg, dynamic_mode=True)
+    vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+    t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
+    rows["backbone_fwd"] = t
+
+    for key, (e, d) in {"full": (6, 6), "enc1": (1, 6), "dec1": (6, 1)}.items():
+        det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
+                                enc_layers=e, dec_layers=d)
+        v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
+        t, c = time_fn(lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
+                       (v, x, qp, rp), iters)
+        rows[f"fwd_{key}"] = t
+
+    rows["per_enc_layer_fwd"] = (rows["fwd_full"] - rows["fwd_enc1"]) / 5
+    rows["per_dec_layer_fwd"] = (rows["fwd_full"] - rows["fwd_dec1"]) / 5
+    rows["encoder_total"] = rows["fwd_full"] - rows["fwd_enc1"] \
+        + rows["per_enc_layer_fwd"]
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="dino,motr")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default="PROFILE_DOWNSTREAM.json")
+    args = ap.parse_args()
+    # discard-first-program: burn one trivial program before measuring
+    jnp.zeros((8, 128)).sum().item()
+
+    results = {}
+    if "dino" in args.which:
+        results["dino_640_b2_fv0"] = profile_dino(args.iters)
+    if "motr" in args.which:
+        results["motr_1536x800_fv0"] = profile_motr(args.iters)
+    for name, rows in results.items():
+        print(f"== {name}")
+        for k, v in rows.items():
+            print(f"  {k:24s} {v * 1e3:9.1f} ms")
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            merged = json.load(open(args.out))
+        except Exception:
+            pass
+    merged.update({k: {kk: round(vv, 5) for kk, vv in r.items()}
+                   for k, r in results.items()})
+    with open(args.out, "w") as f:
+        json.dump(merged, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,28 @@ def test_real_labels_accumulator():
     assert rl.get_accuracy(5) == 100.0
 
 
+def test_imagenet_v2_class_to_idx(tmp_path):
+    """V2 folders are class indices as strings; the adapter parses them as
+    ints instead of the lexicographic enumeration ("10" < "2") ImageFolder
+    ordering would produce."""
+    from fastervit_tpu.data.imagenet import index_image_folder
+    from fastervit_tpu.validate import imagenet_v2_class_to_idx
+    rng = np.random.RandomState(0)
+    for cls in ["0", "2", "10", "999"]:
+        d = tmp_path / "v2" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            d / "a.png")
+    paths, labels, classes = index_image_folder(str(tmp_path / "v2"))
+    c2i = imagenet_v2_class_to_idx(classes)
+    assert c2i == {"0": 0, "2": 2, "10": 10, "999": 999}
+    # lexicographic folder enumeration would call "10" class 1 — the adapter
+    # must recover the true index for every file
+    by_path = {p: c2i[classes[l]] for p, l in zip(paths, labels)}
+    for p, lbl in by_path.items():
+        assert f"/{lbl}/" in p
+
+
 def test_subset_logit_mask(tmp_path):
     f = tmp_path / "classes.txt"
     f.write_text("n01\nn02\nn03\nn04\n")
