@@ -53,22 +53,27 @@ def loss_layers(outputs) -> Tuple[List, List]:
     return logits, boxes
 
 
+def compute_costs(outputs, tgt, num_layers: int):
+    """Per-layer Hungarian cost matrices: list of L x (B, Q_l, T)."""
+    logits_l, boxes_l = loss_layers(outputs)
+    costs = []
+    for li in range(num_layers):
+        layer = []
+        for bi in range(tgt["labels"].shape[0]):
+            c = hungarian_cost_matrix(logits_l[li][bi],
+                                      boxes_l[li][bi],
+                                      tgt["labels"][bi], tgt["boxes"][bi])
+            # invalid targets get prohibitive cost so they never match
+            c = jnp.where(tgt["mask"][bi][None, :], c, 1e6)
+            layer.append(c)
+        costs.append(jnp.stack(layer))
+    return costs
+
+
 def make_cost_fn(num_layers: int):
     @jax.jit
     def cost_fn(outputs, tgt):
-        logits_l, boxes_l = loss_layers(outputs)
-        costs = []
-        for li in range(num_layers):
-            layer = []
-            for bi in range(tgt["labels"].shape[0]):
-                c = hungarian_cost_matrix(logits_l[li][bi],
-                                          boxes_l[li][bi],
-                                          tgt["labels"][bi], tgt["boxes"][bi])
-                # invalid targets get prohibitive cost so they never match
-                c = jnp.where(tgt["mask"][bi][None, :], c, 1e6)
-                layer.append(c)
-            costs.append(jnp.stack(layer))
-        return costs                 # list of L x (B, Q_l, T)
+        return compute_costs(outputs, tgt, num_layers)
     return cost_fn
 
 
@@ -198,12 +203,51 @@ def make_detection_train_step(detector, tx, ema_decay: float = 0.0):
     return jax.jit(train_step)
 
 
+def make_fused_detection_train_step(detector, tx, num_layers: int,
+                                    ema_decay: float = 0.0,
+                                    eps: float = 1e-3):
+    """Fully-on-device step: forward -> costs -> auction match -> loss ->
+    grad -> update in ONE jitted program. Removes the two-phase engine's
+    per-step device->host sync + second forward (the reference pays the same
+    host scipy round trip, dino/models/dino/matcher.py:80-104 — this is a
+    TPU-side improvement, not a parity requirement). Matching quality: within
+    num_targets*eps of the Hungarian optimum (see matcher_device).
+
+    num_layers: matched layer count = len(loss_layers(outputs)[0]) (decoder
+    layers + the interm layer when two-stage)."""
+    from fastervit_tpu.detection.matcher_device import solve_assignments_device
+
+    def train_step(params, batch_stats, opt_state, batch_images, tgt,
+                   ema_params=None):
+        def loss_fn(p):
+            out = detector.apply({"params": p, "batch_stats": batch_stats},
+                                 batch_images, training=False)
+            costs = compute_costs(jax.lax.stop_gradient(out), tgt, num_layers)
+            assignment = solve_assignments_device(costs, tgt["mask"], eps)
+            loss, parts = detection_loss(out, tgt, assignment,
+                                         detector.num_classes)
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_decay > 0.0 and ema_params is not None:
+            from fastervit_tpu.train.ema import ema_update
+            ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, {"loss": loss, **parts}, ema_params
+
+    return jax.jit(train_step)
+
+
 def train_detection_epoch(detector, variables, opt_state, tx, loader,
                           max_targets: int = 20, ema_decay: float = 0.0,
-                          ema_params=None):
+                          ema_params=None, matcher: str = "host"):
     """One epoch over (images, targets) batches (reference engine.py:20-120).
     variables = {'params', 'batch_stats'}; returns updated variables. With
-    ema_decay > 0, 'ema_params' rides along in the returned variables."""
+    ema_decay > 0, 'ema_params' rides along in the returned variables.
+    matcher: 'host' = two-phase exact Hungarian (reference semantics);
+    'auction' = fully-jitted on-device eps-optimal matching (one forward and
+    no host sync per step)."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if ema_decay > 0.0 and ema_params is None:
@@ -211,15 +255,24 @@ def train_detection_epoch(detector, variables, opt_state, tx, loader,
             jax.tree.map(jnp.copy, params)
     fwd = jax.jit(lambda p, x: detector.apply(
         {"params": p, "batch_stats": batch_stats}, x, training=False))
-    step = make_detection_train_step(detector, tx, ema_decay)
-    cost_fn = None
+    step = cost_fn = fused_step = None
     losses = []
     for images, targets in loader:
         images = jnp.asarray(images)
         tgt = jax.tree.map(jnp.asarray, pad_targets(targets, max_targets))
+        if matcher == "auction":
+            if fused_step is None:
+                out = fwd(params, images)        # probe for the layer count
+                fused_step = make_fused_detection_train_step(
+                    detector, tx, len(loss_layers(out)[0]), ema_decay)
+            params, opt_state, metrics, ema_params = fused_step(
+                params, batch_stats, opt_state, images, tgt, ema_params)
+            losses.append(float(metrics["loss"]))
+            continue
         out = fwd(params, images)
         if cost_fn is None:
             cost_fn = make_cost_fn(len(loss_layers(out)[0]))
+            step = make_detection_train_step(detector, tx, ema_decay)
         costs = cost_fn(jax.lax.stop_gradient(out), tgt)
         assignment = jnp.asarray(solve_assignments(costs,
                                                    np.asarray(tgt["mask"])))

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data smoke run (no COCO needed)")
     p.add_argument("--max-targets", type=int, default=20)
+    p.add_argument("--matcher", default="host", choices=["host", "auction"],
+                   help="host = exact scipy Hungarian (reference semantics); "
+                        "auction = on-device eps-optimal matching, one fully "
+                        "jitted program per step (no host sync)")
     return p.parse_args(argv)
 
 
@@ -188,7 +192,7 @@ def main(argv=None):
         t0 = time.time()
         variables, opt_state, metrics = train_detection_epoch(
             det, variables, opt_state, tx, train_batches(),
-            max_targets=args.max_targets)
+            max_targets=args.max_targets, matcher=args.matcher)
         log.info("epoch %d: loss %.4f (%.0fs)", epoch, metrics["loss"],
                  time.time() - t0)
         stats = run_eval(det, variables, val_batches(),

@@ -1,0 +1,95 @@
+"""On-device bipartite matching: Bertsekas auction algorithm under jit.
+
+The reference's Hungarian matcher (dino/models/dino/matcher.py:80-104) runs
+scipy.optimize.linear_sum_assignment on the host every train step; the
+two-phase engine here mirrors that (engine.solve_assignments). On TPU that
+costs a device->host sync + re-entry into jit per step and, under multi-host
+DP, forces every host to solve in lockstep. This module removes the round
+trip: a parallel (Jacobi) forward auction runs inside the train-step jit, so
+cost -> match -> loss -> grad is ONE compiled program.
+
+Auction guarantee (Bertsekas 1988): with bid increment eps, the returned
+assignment's total cost is within n_targets * eps of optimal. Detection cost
+rows are O(1..10) (focal class cost + L1 + GIoU), so the default eps=1e-3
+is far below the loss's sensitivity to a swapped pair; eps also bounds the
+iteration count (each round raises some price by >= eps).
+
+Shapes are static: (Q, T) costs with a (T,) valid mask; T is the padded
+target count. lax.while_loop carries (price, assign); everything vmaps over
+batch and stacks over decoder layers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def auction_match(cost: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-3,
+                  max_iters: int = 2000) -> jnp.ndarray:
+    """cost: (Q, T) float; valid: (T,) bool. Returns (T,) int32: the query
+    assigned to each valid target (distinct across targets), -1 for invalid.
+    Minimizes sum(cost[assign[t], t]) to within sum(valid)*eps of optimal."""
+    q, t = cost.shape
+    benefit = jnp.where(valid[None, :], -cost.astype(jnp.float32), _NEG)
+    tids = jnp.arange(t)
+
+    def cond(state):
+        price, assign, it = state
+        return (it < max_iters) & jnp.any((assign < 0) & valid)
+
+    def body(state):
+        price, assign, it = state
+        unassigned = (assign < 0) & valid
+        value = benefit - price[:, None]                     # (Q, T)
+        j1 = jnp.argmax(value, axis=0)                       # (T,)
+        v1 = jnp.max(value, axis=0)
+        v2 = jnp.max(jnp.where(jnp.arange(q)[:, None] == j1[None, :],
+                               _NEG, value), axis=0)
+        # bid for target t on query j1[t]: benefit - v2 + eps
+        bid = jnp.take_along_axis(benefit, j1[None, :], axis=0)[0] - v2 + eps
+        bid = jnp.where(unassigned, bid, _NEG)
+        # per-query best bidder this round
+        score = jnp.where(j1[None, :] == jnp.arange(q)[:, None],
+                          bid[None, :], _NEG)                # (Q, T)
+        winner = jnp.argmax(score, axis=1)                   # (Q,)
+        wbid = jnp.max(score, axis=1)
+        has = wbid > _NEG / 2
+        price = jnp.where(has, wbid, price)
+        # evict previous owners of re-priced queries
+        cur = jnp.clip(assign, 0, q - 1)
+        evicted = (assign >= 0) & has[cur] & (winner[cur] != tids)
+        assign = jnp.where(evicted, -1, assign)
+        # each target bids on exactly one query, so it wins iff it is the
+        # best bidder on its own choice
+        won = unassigned & has[j1] & (winner[j1] == tids)
+        assign = jnp.where(won, j1, assign)
+        return price, assign, it + 1
+
+    price0 = jnp.zeros((q,), jnp.float32)
+    assign0 = jnp.full((t,), -1, jnp.int32)
+    _, assign, _ = jax.lax.while_loop(cond, body, (price0, assign0, 0))
+    return jnp.where(valid, assign, -1).astype(jnp.int32)
+
+
+def solve_assignments_device(costs, tgt_mask, eps: float = 1e-3):
+    """Jit-friendly engine.solve_assignments: list of L (B, Q_l, T) costs +
+    (B, T) mask -> (L, B, T) int32 query-per-target, -1 invalid. Q may
+    differ per layer (interm proposals vs dn-augmented decoder layers)."""
+    per_layer = [jax.vmap(lambda c, m: auction_match(c, m, eps))(c, tgt_mask)
+                 for c in costs]
+    return jnp.stack(per_layer)
+
+
+def assignment_cost(cost: np.ndarray, assign: np.ndarray) -> float:
+    """Total matched cost of an (T,)-assignment on an (Q, T) matrix."""
+    s = 0.0
+    for ti, qi in enumerate(np.asarray(assign)):
+        if qi >= 0:
+            s += float(cost[qi, ti])
+    return s

@@ -53,6 +53,71 @@ def load_stablehlo(blob: bytes):
     return exported.call
 
 
+def export_onnx(model, variables, path: str, torch_model=None,
+                batch_size: Optional[int] = None, opset: int = 17) -> str:
+    """Write a real .onnx artifact of the forward pass — the reference's
+    onnx_convert.py:85-152 leg: flax weights flow through the verified
+    reverse converter (utils/convert.export_state_dict) into the PyTorch
+    reference model, which torch.onnx traces with a dynamic batch axis.
+
+    torch_model: a reference-architecture torch.nn.Module to load the
+    converted state_dict into. Defaults to building from the pip `fastervit`
+    package (create_model(model.name)); pass explicitly when it isn't
+    installed. The exported graph takes NCHW float32 input, exactly like the
+    reference's ONNX artifact.
+
+    Works without the `onnx` python package: torch's TorchScript exporter
+    serializes the ModelProto in C++; the only step that imports `onnx`
+    (_add_onnxscript_fn, a no-op unless custom onnxscript functions are
+    registered) is patched out when `onnx` is unavailable."""
+    import contextlib
+
+    import torch
+
+    from fastervit_tpu.utils.convert import export_state_dict
+
+    if torch_model is None:
+        from fastervit import create_model as _torch_create  # pip package
+        torch_model = _torch_create(model.name, pretrained=False)
+    sd = {k: torch.from_numpy(v) for k, v in export_state_dict(variables).items()}
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
+    # deterministic registered buffers the torch module rebuilds at init
+    # (cached biases + CPB coordinate tables) — not weights
+    _buffers = ("relative_bias", "relative_coords_table",
+                "relative_position_index")
+    missing = [k for k in missing if not any(b in k for b in _buffers)]
+    if missing or unexpected:
+        raise ValueError(f"state_dict mismatch: missing={missing} "
+                         f"unexpected={unexpected}")
+    torch_model.eval()
+
+    @contextlib.contextmanager
+    def _onnx_pkg_guard():
+        try:
+            import onnx  # noqa: F401
+            yield
+            return
+        except ImportError:
+            pass
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+        orig = onnx_proto_utils._add_onnxscript_fn
+        onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto
+        try:
+            yield
+        finally:
+            onnx_proto_utils._add_onnxscript_fn = orig
+
+    h, w = model.cfg.resolution
+    x = torch.randn(batch_size or 1, model.cfg.in_chans, h, w)
+    dyn = None if batch_size else {"input": {0: "batch"},
+                                   "output": {0: "batch"}}
+    with torch.no_grad(), _onnx_pkg_guard():
+        torch.onnx.export(torch_model, (x,), path, input_names=["input"],
+                          output_names=["output"], dynamic_axes=dyn,
+                          opset_version=opset, dynamo=False)
+    return path
+
+
 def export_savedmodel(model, variables, directory: str,
                       batch_size: Optional[int] = None, dtype=jnp.float32):
     """Write a TF SavedModel of the forward pass (jax2tf)."""

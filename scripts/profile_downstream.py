@@ -53,9 +53,24 @@ def time_fn(fn, args, iters=10, warm=2):
     return (time.perf_counter() - t0) / iters, compile_s
 
 
-def profile_dino(iters):
+def _emit(rows, key, value, out_path, section):
+    rows[key] = value
+    print(f"  {key:24s} {value * 1e3:9.1f} ms", flush=True)
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            merged = json.load(open(out_path))
+        except Exception:
+            pass
+    merged.setdefault(section, {})[key] = round(value, 5)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+
+
+def profile_dino(iters, out_path, stages):
     """DINO train-step breakdown at the ROUND_NOTES config: fv0 4-scale,
-    640x640, batch 2, f32 (759 ms/step baseline)."""
+    640x640, batch 2, f32 (759 ms/step baseline). Emits incrementally
+    (compiles are minutes each; a killed run keeps finished rows)."""
     from fastervit_tpu.detection.dino import DINODetector
     from fastervit_tpu.detection.engine import (detection_loss, loss_layers,
                                                 make_cost_fn, pad_targets,
@@ -63,61 +78,86 @@ def profile_dino(iters):
     from fastervit_tpu.models.fastervit import FasterViTPyramid
     from fastervit_tpu.models.registry import get_config
 
+    section = "dino_640_b2_fv0"
     cfg = get_config("faster_vit_0_224", resolution=640)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 640, 640, 3), jnp.float32)
     rows = {}
+    emit = lambda k, v: _emit(rows, k, v, out_path, section)
 
-    # backbone alone
-    bb = FasterViTPyramid(cfg)
-    vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x[:1])
-    t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
-    rows["backbone_fwd"] = t
+    if "backbone" in stages:
+        bb = FasterViTPyramid(cfg)
+        vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x[:1])
+        t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
+        emit("backbone_fwd", t)
+        del vb
 
-    # full detector at (enc, dec) layer-count variants
-    dets, vs = {}, {}
-    for key, (e, d) in {"full": (6, 6), "enc1": (1, 6), "dec1": (6, 1)}.items():
+    def make_det(e, d):
         det = DINODetector(backbone_cfg=cfg, num_classes=91, dim=256,
                            num_queries=900, enc_layers=e, dec_layers=d,
                            num_feature_levels=4)
-        v = jax.jit(det.init)(jax.random.PRNGKey(0), x[:1])
-        t, c = time_fn(lambda v, x, det=det: det.apply(v, x), (v, x), iters)
-        rows[f"fwd_{key}"] = t
-        dets[key], vs[key] = det, v
+        return det, jax.jit(det.init)(jax.random.PRNGKey(0), x[:1])
 
-    rows["per_enc_layer_fwd"] = (rows["fwd_full"] - rows["fwd_enc1"]) / 5
-    rows["per_dec_layer_fwd"] = (rows["fwd_full"] - rows["fwd_dec1"]) / 5
+    if "variants" in stages:
+        for key, (e, d) in {"full": (6, 6), "enc1": (1, 6),
+                            "dec1": (6, 1)}.items():
+            det, v = make_det(e, d)
+            t, c = time_fn(lambda v, x, det=det: det.apply(v, x), (v, x),
+                           iters)
+            emit(f"fwd_{key}", t)
+            del det, v
+        emit("per_enc_layer_fwd", (rows["fwd_full"] - rows["fwd_enc1"]) / 5)
+        emit("per_dec_layer_fwd", (rows["fwd_full"] - rows["fwd_dec1"]) / 5)
 
-    # train step: cost fwd + host LP + grad step (two-phase engine)
-    det, v = dets["full"], vs["full"]
+    det, v = make_det(6, 6)
     targets = [{"boxes": np.asarray([[0.5, 0.5, 0.2, 0.2]] * 8, np.float32),
                 "labels": np.asarray([1] * 8, np.int32)} for _ in range(2)]
     tgt = jax.tree.map(jnp.asarray, pad_targets(targets, 20))
     fwd = jax.jit(lambda p, x: det.apply(
         {"params": p, "batch_stats": v.get("batch_stats", {})}, x))
     out = fwd(v["params"], x)
-    costs = make_cost_fn(len(loss_layers(out)[0]))(out, tgt)
-    costs_np = [np.asarray(c) for c in costs]
-    t0 = time.perf_counter()
-    for _ in range(10):
-        assignment = solve_assignments(costs_np, np.asarray(tgt["mask"]))
-    rows["host_hungarian"] = (time.perf_counter() - t0) / 10
-    assignment = jnp.asarray(assignment)
+    num_layers = len(loss_layers(out)[0])
 
-    def grad_step(p, x, tgt, assignment):
-        def loss_fn(p):
-            out = det.apply({"params": p,
-                             "batch_stats": v.get("batch_stats", {})}, x)
-            return detection_loss(out, tgt, assignment, det.num_classes)[0]
-        return jax.grad(loss_fn)(p)
+    if "grad" in stages:
+        costs = make_cost_fn(num_layers)(out, tgt)
+        costs_np = [np.asarray(c) for c in costs]
+        t0 = time.perf_counter()
+        for _ in range(10):
+            assignment = solve_assignments(costs_np, np.asarray(tgt["mask"]))
+        emit("host_hungarian", (time.perf_counter() - t0) / 10)
+        assignment = jnp.asarray(assignment)
 
-    t, c = time_fn(grad_step, (v["params"], x, tgt, assignment), iters)
-    rows["fwd_bwd"] = t
-    rows["train_step_total"] = rows["fwd_full"] + rows["host_hungarian"] + t
+        def grad_step(p, x, tgt, assignment):
+            def loss_fn(p):
+                out = det.apply({"params": p,
+                                 "batch_stats": v.get("batch_stats", {})}, x)
+                return detection_loss(out, tgt, assignment,
+                                      det.num_classes)[0]
+            return jax.grad(loss_fn)(p)
+
+        t, c = time_fn(grad_step, (v["params"], x, tgt, assignment), iters)
+        emit("fwd_bwd", t)
+        if "fwd_full" in rows:
+            emit("train_step_total",
+                 rows["fwd_full"] + rows["host_hungarian"] + t)
+
+    if "fused" in stages:
+        # the on-device-auction fused step (one forward, no host sync)
+        from fastervit_tpu.detection.engine import \
+            make_fused_detection_train_step
+        import optax
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(v["params"])
+        fused = make_fused_detection_train_step(det, tx, num_layers)
+        t, c = time_fn(
+            lambda p, o, x, tgt: fused(p, v.get("batch_stats", {}), o, x,
+                                       tgt)[2],
+            (v["params"], opt_state, x, tgt), iters)
+        emit("fused_auction_step", t)
     return rows
 
 
-def profile_motr(iters):
+def profile_motr(iters, out_path, stages):
     """MOTR exact streaming-frame breakdown at the submit config: fv0
     dynamic backbone (strides 4-32), 1536x800, 10+50 queries, f32
     (1.64 s/frame baseline; S = 102k encoder tokens)."""
@@ -125,6 +165,7 @@ def profile_motr(iters):
     from fastervit_tpu.models.registry import get_config
     from fastervit_tpu.tracking.motr_exact import MOTRDetectorExact
 
+    section = "motr_1536x800_fv0"
     cfg = get_config("faster_vit_0_224", resolution=1536)
     rng = np.random.RandomState(0)
     # submit_dance resolution: 800 x 1536 (h x w)
@@ -133,55 +174,50 @@ def profile_motr(iters):
     qp = jnp.asarray(rng.randn(1, nq, 256), jnp.float32)
     rp = jnp.asarray(rng.rand(1, nq, 4), jnp.float32)
     rows = {}
+    emit = lambda k, v: _emit(rows, k, v, out_path, section)
 
-    bb = FasterViTPyramid(cfg, dynamic_mode=True)
-    vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
-    t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
-    rows["backbone_fwd"] = t
+    if "backbone" in stages:
+        bb = FasterViTPyramid(cfg, dynamic_mode=True)
+        vb = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+        t, c = time_fn(lambda v, x: bb.apply(v, x), (vb, x), iters)
+        emit("backbone_fwd", t)
+        del vb
 
-    for key, (e, d) in {"full": (6, 6), "enc1": (1, 6), "dec1": (6, 1)}.items():
-        det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
-                                enc_layers=e, dec_layers=d)
-        v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
-        t, c = time_fn(lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
-                       (v, x, qp, rp), iters)
-        rows[f"fwd_{key}"] = t
-
-    rows["per_enc_layer_fwd"] = (rows["fwd_full"] - rows["fwd_enc1"]) / 5
-    rows["per_dec_layer_fwd"] = (rows["fwd_full"] - rows["fwd_dec1"]) / 5
-    rows["encoder_total"] = rows["fwd_full"] - rows["fwd_enc1"] \
-        + rows["per_enc_layer_fwd"]
+    if "variants" in stages:
+        for key, (e, d) in {"full": (6, 6), "enc1": (1, 6),
+                            "dec1": (6, 1)}.items():
+            det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
+                                    enc_layers=e, dec_layers=d)
+            v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
+            t, c = time_fn(
+                lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
+                (v, x, qp, rp), iters)
+            emit(f"fwd_{key}", t)
+            del det, v
+        emit("per_enc_layer_fwd", (rows["fwd_full"] - rows["fwd_enc1"]) / 5)
+        emit("per_dec_layer_fwd", (rows["fwd_full"] - rows["fwd_dec1"]) / 5)
+        emit("encoder_total_6l", 6 * rows["per_enc_layer_fwd"])
     return rows
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="dino,motr")
+    ap.add_argument("--stages", default="backbone,variants,grad,fused",
+                    help="subset to run (resume after a killed run)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="PROFILE_DOWNSTREAM.json")
     args = ap.parse_args()
+    stages = args.stages.split(",")
     # discard-first-program: burn one trivial program before measuring
     jnp.zeros((8, 128)).sum().item()
 
-    results = {}
     if "dino" in args.which:
-        results["dino_640_b2_fv0"] = profile_dino(args.iters)
+        print("== dino_640_b2_fv0", flush=True)
+        profile_dino(args.iters, args.out, stages)
     if "motr" in args.which:
-        results["motr_1536x800_fv0"] = profile_motr(args.iters)
-    for name, rows in results.items():
-        print(f"== {name}")
-        for k, v in rows.items():
-            print(f"  {k:24s} {v * 1e3:9.1f} ms")
-    merged = {}
-    if os.path.exists(args.out):
-        try:
-            merged = json.load(open(args.out))
-        except Exception:
-            pass
-    merged.update({k: {kk: round(vv, 5) for kk, vv in r.items()}
-                   for k, r in results.items()})
-    with open(args.out, "w") as f:
-        json.dump(merged, f, indent=1)
+        print("== motr_1536x800_fv0", flush=True)
+        profile_motr(args.iters, args.out, stages)
     print("wrote", args.out)
 
 

@@ -31,6 +31,40 @@ def test_stablehlo_roundtrip_dynamic_batch(tiny):
     assert fn(x5).shape == (5, 10)  # dynamic batch works
 
 
+def test_onnx_export(tmp_path):
+    """The ONNX leg (reference onnx_convert.py:85-152): flax weights ->
+    reverse converter -> reference torch model -> torch.onnx trace with a
+    dynamic batch axis. No `onnx`/`onnxruntime` in the image, so the
+    artifact's source model is verified numerically (torch-with-converted-
+    weights vs flax logits) and the serialized proto structurally."""
+    torch = pytest.importorskip("torch")
+    from reference_loader import load_reference
+    from fastervit_tpu.utils.export import export_onnx
+
+    fv = load_reference()
+    # resolution must be the reference default (224): its window_partition
+    # needs H,W >= window 7 at every stage
+    kw = dict(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              num_classes=10)
+    model = fvt.create_model("faster_vit_0_224", **kw)
+    variables = model.init(jax.random.PRNGKey(0))
+    tm = fv.create_model("faster_vit_0_224", **kw)
+    path = str(tmp_path / "fv_tiny.onnx")
+    export_onnx(model, variables, path, torch_model=tm)
+
+    # the traced torch model carries the converted weights: logits match flax
+    x = np.random.RandomState(0).randn(2, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    data = open(path, "rb").read()
+    assert len(data) > 50_000          # weights are embedded
+    for token in (b"Conv", b"input", b"output", b"batch"):
+        assert token in data, token
+
+
 def test_savedmodel_export(tiny, tmp_path):
     tf = pytest.importorskip("tensorflow")
     model, variables = tiny
