@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data smoke run (no COCO needed)")
     p.add_argument("--max-targets", type=int, default=20)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (bfloat16 on TPU)")
     p.add_argument("--matcher", default="host", choices=["host", "auction"],
                    help="host = exact scipy Hungarian (reference semantics); "
                         "auction = on-device eps-optimal matching, one fully "
@@ -113,7 +116,7 @@ def main(argv=None):
             pass
         cfg.merge_from_dict({k: v})
 
-    det = build_dino_from_config(cfg)
+    det = build_dino_from_config(cfg, dtype=getattr(jnp, args.dtype))
     batch_size = args.batch_size or int(cfg.get("batch_size", 2))
     epochs = args.epochs or int(cfg.get("epochs", 12))
     size = args.image_size

@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--reference-checkpoint", default="",
                    help="reference MOTR .pth to convert (implies --exact)")
     p.add_argument("--track-capacity", type=int, default=50)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype; bfloat16 halves HBM traffic "
+                        "for the backbone/transformer matmuls on TPU")
     return p.parse_args(argv)
 
 
@@ -110,7 +114,8 @@ def _run_exact(args, sequences):
     det = MOTRDetectorExact(backbone_cfg=cfg, num_classes=1, dim=args.dim,
                             num_queries=args.num_queries,
                             enc_layers=args.enc_layers,
-                            dec_layers=args.dec_layers)
+                            dec_layers=args.dec_layers,
+                            dtype=getattr(jnp, args.dtype))
     qim = QIMv2(dim=args.dim)
     total = args.num_queries + args.num_proposals + args.track_capacity
     x0 = jnp.zeros((1, args.img_height, args.img_width, 3), jnp.float32)
@@ -183,7 +188,8 @@ def main(argv=None):
                        num_track_queries=args.num_queries,
                        num_proposal_queries=args.num_proposals,
                        enc_layers=args.enc_layers,
-                       dec_layers=args.dec_layers)
+                       dec_layers=args.dec_layers,
+                       dtype=getattr(jnp, args.dtype))
     if args.checkpoint:
         with open(args.checkpoint, "rb") as f:
             variables = pickle.load(f)

@@ -57,7 +57,8 @@ def test_tracking_submit_sequence(tmp_path):
 
 
 def test_tracking_submit_exact_path(tmp_path):
-    """--exact routes through the checkpoint-exact assembly."""
+    """--exact routes through the checkpoint-exact assembly; --dtype
+    bfloat16 covers the reduced-precision streaming path."""
     from fastervit_tpu.tracking.submit import main
 
     seq = tmp_path / "val" / "seq01" / "img1"
@@ -72,5 +73,5 @@ def test_tracking_submit_exact_path(tmp_path):
           "--dim", "256", "--num-queries", "3", "--num-proposals", "2",
           "--enc-layers", "1", "--dec-layers", "1",
           "--backbone", "faster_vit_0_any_res", "--score-thresh", "0.0",
-          "--exact", "--track-capacity", "4"])
+          "--exact", "--track-capacity", "4", "--dtype", "bfloat16"])
     assert (outdir / "seq01.txt").exists()

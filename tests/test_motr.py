@@ -93,3 +93,42 @@ def test_motr_clip_training_learns():
         losses.append(m["loss"])
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_motr_clip_train_step_sharded_8dev(cpu_devices):
+    """The MOTR clip train step compiles and runs batch-sharded over an
+    8-device mesh (SURVEY §2.10 DP for the tracking engine): frames are
+    (F, B, H, W, 3) with B sharded; GSPMD inserts the gradient all-reduce
+    and the loss matches the unsharded step."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fastervit_tpu.parallel.mesh import create_mesh, replicated
+    from fastervit_tpu.tracking.motr import make_motr_clip_train_step
+
+    det = _tiny()
+    f, b, t = 2, 8, 3
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randn(f, b, 128, 128, 3), jnp.float32)
+    v = det.init(jax.random.PRNGKey(0), frames[0])
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(v["params"])
+    tgt_labels = jnp.zeros((f, b, t), jnp.int32)
+    tgt_boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.2, 0.2]), (f, b, t, 1))
+    tgt_mask = jnp.tile(jnp.asarray([True, False, False]), (f, b, 1))
+    assignment = jnp.where(tgt_mask, 2, -1).astype(jnp.int32)
+
+    step = make_motr_clip_train_step(det, tx)
+    _, _, loss_ref = step(v["params"], v.get("batch_stats", {}), opt_state,
+                          frames, tgt_labels, tgt_boxes, tgt_mask, assignment)
+
+    mesh = create_mesh(cpu_devices)
+    repl = replicated(mesh)
+    fsh = NamedSharding(mesh, P(None, "data"))    # batch is dim 1
+    with mesh:
+        sharded = jax.jit(
+            make_motr_clip_train_step(det, tx),
+            in_shardings=(repl, repl, repl, fsh, fsh, fsh, fsh, fsh))
+        p2, o2, loss_sh = sharded(
+            v["params"], v.get("batch_stats", {}), opt_state, frames,
+            tgt_labels, tgt_boxes, tgt_mask, assignment)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
