@@ -15,7 +15,7 @@ compiles once.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -241,45 +241,56 @@ def make_fused_detection_train_step(detector, tx, num_layers: int,
 
 def train_detection_epoch(detector, variables, opt_state, tx, loader,
                           max_targets: int = 20, ema_decay: float = 0.0,
-                          ema_params=None, matcher: str = "host"):
+                          ema_params=None, matcher: str = "host",
+                          step_cache: Optional[dict] = None):
     """One epoch over (images, targets) batches (reference engine.py:20-120).
     variables = {'params', 'batch_stats'}; returns updated variables. With
     ema_decay > 0, 'ema_params' rides along in the returned variables.
     matcher: 'host' = two-phase exact Hungarian (reference semantics);
     'auction' = fully-jitted on-device eps-optimal matching (one forward and
-    no host sync per step)."""
+    no per-step host sync). step_cache: pass the same dict across epochs so
+    the jitted step programs (minutes-long compiles at 640px through the
+    device relay) are built once per run, not once per epoch."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if ema_decay > 0.0 and ema_params is None:
         ema_params = variables.get("ema_params") or \
             jax.tree.map(jnp.copy, params)
-    fwd = jax.jit(lambda p, x: detector.apply(
-        {"params": p, "batch_stats": batch_stats}, x, training=False))
-    step = cost_fn = fused_step = None
+    cache = step_cache if step_cache is not None else {}
+    if "fwd" not in cache:
+        cache["fwd"] = jax.jit(lambda p, bs, x: detector.apply(
+            {"params": p, "batch_stats": bs}, x, training=False))
+    fwd = cache["fwd"]
     losses = []
     for images, targets in loader:
         images = jnp.asarray(images)
         tgt = jax.tree.map(jnp.asarray, pad_targets(targets, max_targets))
         if matcher == "auction":
-            if fused_step is None:
-                out = fwd(params, images)        # probe for the layer count
-                fused_step = make_fused_detection_train_step(
-                    detector, tx, len(loss_layers(out)[0]), ema_decay)
-            params, opt_state, metrics, ema_params = fused_step(
+            if "fused_step" not in cache:
+                # layer count is static: derive it from abstract shapes
+                # (jax.eval_shape — no compile, no device execution)
+                out_sh = jax.eval_shape(
+                    lambda p, bs, x: detector.apply(
+                        {"params": p, "batch_stats": bs}, x, training=False),
+                    params, batch_stats, images)
+                cache["fused_step"] = make_fused_detection_train_step(
+                    detector, tx, len(loss_layers(out_sh)[0]), ema_decay)
+            params, opt_state, metrics, ema_params = cache["fused_step"](
                 params, batch_stats, opt_state, images, tgt, ema_params)
-            losses.append(float(metrics["loss"]))
+            losses.append(metrics["loss"])  # device scalar; fetch at end
             continue
-        out = fwd(params, images)
-        if cost_fn is None:
-            cost_fn = make_cost_fn(len(loss_layers(out)[0]))
-            step = make_detection_train_step(detector, tx, ema_decay)
-        costs = cost_fn(jax.lax.stop_gradient(out), tgt)
+        out = fwd(params, batch_stats, images)
+        if "cost_fn" not in cache:
+            cache["cost_fn"] = make_cost_fn(len(loss_layers(out)[0]))
+            cache["step"] = make_detection_train_step(detector, tx, ema_decay)
+        costs = cache["cost_fn"](jax.lax.stop_gradient(out), tgt)
         assignment = jnp.asarray(solve_assignments(costs,
                                                    np.asarray(tgt["mask"])))
-        params, opt_state, metrics, ema_params = step(
+        params, opt_state, metrics, ema_params = cache["step"](
             params, batch_stats, opt_state, images, tgt, assignment,
             ema_params)
         losses.append(float(metrics["loss"]))
+    losses = [float(l) for l in losses]
     new_vars = {"params": params, "batch_stats": batch_stats}
     if ema_params is not None:
         new_vars["ema_params"] = ema_params

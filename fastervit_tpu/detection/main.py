@@ -191,11 +191,13 @@ def main(argv=None):
     opt_state = tx.init(variables["params"])
 
     best = -1.0
+    step_cache: dict = {}   # jitted step programs persist across epochs
     for epoch in range(epochs):
         t0 = time.time()
         variables, opt_state, metrics = train_detection_epoch(
             det, variables, opt_state, tx, train_batches(),
-            max_targets=args.max_targets, matcher=args.matcher)
+            max_targets=args.max_targets, matcher=args.matcher,
+            step_cache=step_cache)
         log.info("epoch %d: loss %.4f (%.0fs)", epoch, metrics["loss"],
                  time.time() - t0)
         stats = run_eval(det, variables, val_batches(),

@@ -31,10 +31,19 @@ _NEG = -1e30
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def auction_match(cost: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-3,
-                  max_iters: int = 2000) -> jnp.ndarray:
+                  max_iters: int = 20000) -> jnp.ndarray:
     """cost: (Q, T) float; valid: (T,) bool. Returns (T,) int32: the query
     assigned to each valid target (distinct across targets), -1 for invalid.
-    Minimizes sum(cost[assign[t], t]) to within sum(valid)*eps of optimal."""
+    Minimizes sum(cost[assign[t], t]) to within sum(valid)*eps of optimal.
+
+    Termination: every round raises at least one price by >= eps, so rounds
+    are bounded by ~T*(cost range)/eps; detection costs span O(10), giving
+    ~2e5 worst-case at the 1e-3 default but typically << 100 in practice
+    (each round usually assigns a target). Each round is a handful of
+    (Q, T) vector ops, so the 20000 cap costs microseconds of compiled
+    bound, not wall time. If the cap is ever hit, still-unassigned targets
+    return -1 and the loss treats them as unmatched for that step (same
+    no-crash degradation the padded-target path uses)."""
     q, t = cost.shape
     benefit = jnp.where(valid[None, :], -cost.astype(jnp.float32), _NEG)
     tids = jnp.arange(t)

@@ -78,7 +78,7 @@ def export_onnx(model, variables, path: str, torch_model=None,
 
     if torch_model is None:
         from fastervit import create_model as _torch_create  # pip package
-        torch_model = _torch_create(model.name, pretrained=False)
+        torch_model = _torch_create(model.cfg.name, pretrained=False)
     sd = {k: torch.from_numpy(v) for k, v in export_state_dict(variables).items()}
     missing, unexpected = torch_model.load_state_dict(sd, strict=False)
     # deterministic registered buffers the torch module rebuilds at init
@@ -91,14 +91,17 @@ def export_onnx(model, variables, path: str, torch_model=None,
                          f"unexpected={unexpected}")
     torch_model.eval()
 
+    try:
+        import onnx  # noqa: F401
+        _has_onnx = True
+    except ImportError:
+        _has_onnx = False
+
     @contextlib.contextmanager
     def _onnx_pkg_guard():
-        try:
-            import onnx  # noqa: F401
+        if _has_onnx:
             yield
             return
-        except ImportError:
-            pass
         from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
         orig = onnx_proto_utils._add_onnxscript_fn
         onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto

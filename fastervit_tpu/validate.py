@@ -192,6 +192,9 @@ def main(argv=None):
             from fastervit_tpu.data.imagenet import EvalLoader, index_image_folder
             class_to_idx = None
             if args.imagenet_v2:
+                if args.lmdb_dataset:
+                    p.error("--imagenet-v2 reads the folder layout and "
+                            "cannot combine with --lmdb-dataset")
                 class_to_idx = imagenet_v2_class_to_idx(
                     index_image_folder(args.data_dir)[2])
             elif args.class_index_file:

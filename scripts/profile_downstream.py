@@ -109,6 +109,8 @@ def profile_dino(iters, out_path, stages):
         emit("per_enc_layer_fwd", (rows["fwd_full"] - rows["fwd_enc1"]) / 5)
         emit("per_dec_layer_fwd", (rows["fwd_full"] - rows["fwd_dec1"]) / 5)
 
+    if not ({"grad", "fused"} & set(stages)):
+        return rows
     det, v = make_det(6, 6)
     targets = [{"boxes": np.asarray([[0.5, 0.5, 0.2, 0.2]] * 8, np.float32),
                 "labels": np.asarray([1] * 8, np.int32)} for _ in range(2)]
