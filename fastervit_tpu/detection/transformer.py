@@ -262,13 +262,17 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, ref_points, spatial_shapes, padding_mask=None,
-                 deterministic=True):
+                 deterministic=True, value=None):
+        """value: optional (B, S_value, C) flattened level maps to sample
+        from when the query set is a subset of the memory (lite-encoder
+        mode); defaults to src (standard self-MSDA). Same params either
+        way — the value projection weights don't depend on the split."""
         attn = MSDeformAttnModule(self.dim, self.n_levels, self.n_heads,
                                   self.n_points, dtype=self.dtype,
                                   name="self_attn")(
             src + pos, ref_points[None].repeat(src.shape[0], 0)
             if ref_points.ndim == 3 else ref_points,
-            src, spatial_shapes, padding_mask)
+            src if value is None else value, spatial_shapes, padding_mask)
         if self.dropout:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn)

@@ -106,6 +106,7 @@ class MOTRDetectorExact(nn.Module):
     dec_layers: int = 6
     ffn_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    lite_encoder: bool = False   # see MOTRTransformer.lite_encoder
 
     @nn.compact
     def __call__(self, image, query_pos, ref_pts, self_attn_mask=None,
@@ -147,6 +148,7 @@ class MOTRDetectorExact(nn.Module):
         out = MOTRTransformer(dim=self.dim, enc_layers=self.enc_layers,
                               dec_layers=self.dec_layers,
                               ffn_dim=self.ffn_dim, dtype=self.dtype,
+                              lite_encoder=self.lite_encoder,
                               name="transformer")(
             src, tuple(shapes), pos, query_pos, ref_pts,
             self_attn_mask=self_attn_mask, deterministic=not training)

@@ -53,6 +53,11 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"],
                    help="model compute dtype; bfloat16 halves HBM traffic "
                         "for the backbone/transformer matmuls on TPU")
+    p.add_argument("--lite-encoder", action="store_true",
+                   help="speed mode: exclude the stride-4 level from the "
+                        "encoder query set (kept as values) — ~4x lower "
+                        "MSDA gather cost, NOT reference-exact "
+                        "(docs/perf_downstream.md)")
     return p.parse_args(argv)
 
 
@@ -115,7 +120,8 @@ def _run_exact(args, sequences):
                             num_queries=args.num_queries,
                             enc_layers=args.enc_layers,
                             dec_layers=args.dec_layers,
-                            dtype=getattr(jnp, args.dtype))
+                            dtype=getattr(jnp, args.dtype),
+                            lite_encoder=args.lite_encoder)
     qim = QIMv2(dim=args.dim)
     total = args.num_queries + args.num_proposals + args.track_capacity
     x0 = jnp.zeros((1, args.img_height, args.img_width, 3), jnp.float32)
@@ -175,6 +181,9 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     if args.exact or args.reference_checkpoint:
         return _run_exact(args, _load_sequences(args))
+    if args.lite_encoder:
+        raise SystemExit("--lite-encoder is wired for the --exact streaming "
+                         "path (the latency-critical one)")
 
     from fastervit_tpu.models.registry import get_config
     from fastervit_tpu.tracking.mot_data import write_mot_file

@@ -61,6 +61,13 @@ class MOTRTransformer(nn.Module):
     ffn_dim: int = 1024
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Lite-DETR-style speed mode: the stride-4 level (75% of the 102k
+    # encoder tokens at 1536x800) is excluded from the encoder QUERY set but
+    # stays in the sampled value maps, cutting the MSDA gather floor ~4x
+    # (docs/perf_downstream.md). Off by default — changes numerics vs the
+    # reference, so checkpoint-exact paths keep it disabled. Same params
+    # either way (weights don't depend on the query split).
+    lite_encoder: bool = False
 
     @nn.compact
     def __call__(self, srcs, spatial_shapes, pos_embeds, query_embed,
@@ -86,11 +93,25 @@ class MOTRTransformer(nn.Module):
         ref_grid = jnp.asarray(encoder_reference_points(spatial_shapes),
                                self.dtype)
         memory = srcs
-        for i in range(self.enc_layers):
-            memory = EncoderLayer(self.dim, self.n_heads, self.n_points,
+        if self.lite_encoder and n_levels > 1:
+            s_lo = spatial_shapes[0][0] * spatial_shapes[0][1]
+            lo = memory[:, :s_lo]          # stride-4 tokens: values only
+            hi = memory[:, s_lo:]
+            pos_hi, ref_hi = pos[:, s_lo:], ref_grid[s_lo:]
+            for i in range(self.enc_layers):
+                hi = EncoderLayer(self.dim, self.n_heads, self.n_points,
                                   n_levels, self.ffn_dim, self.dropout,
                                   self.dtype, name=f"encoder_{i}")(
-                memory, pos, ref_grid, spatial_shapes, None, deterministic)
+                    hi, pos_hi, ref_hi, spatial_shapes, None, deterministic,
+                    value=jnp.concatenate([lo, hi], axis=1))
+            memory = jnp.concatenate([lo, hi], axis=1)
+        else:
+            for i in range(self.enc_layers):
+                memory = EncoderLayer(self.dim, self.n_heads, self.n_points,
+                                      n_levels, self.ffn_dim, self.dropout,
+                                      self.dtype, name=f"encoder_{i}")(
+                    memory, pos, ref_grid, spatial_shapes, None,
+                    deterministic)
 
         # refinement bbox heads (decoder-resident, shared with the model's
         # output heads — motr.py:442-447)

@@ -264,3 +264,44 @@ def test_exact_streaming_inference_runs():
     # identities persist across frames (same slots stay active)
     assert set(results[0]["ids"]).issubset(set(results[1]["ids"]) |
                                            set(results[0]["ids"]))
+
+
+def test_lite_encoder_param_compatible_and_runs():
+    """lite_encoder=True keeps the exact same parameter tree (checkpoints
+    load unchanged: the encoder weights don't depend on the query split),
+    produces same-shaped outputs, and actually changes the numerics (it is
+    a speed mode, not a no-op)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fastervit_tpu.tracking.transformer import MOTRTransformer
+
+    rng = np.random.RandomState(0)
+    shapes = ((8, 12), (4, 6), (2, 3))
+    s = sum(h * w for h, w in shapes)
+    src = jnp.asarray(rng.randn(1, s, 32), jnp.float32)
+    pos = jnp.asarray(rng.randn(1, s, 32), jnp.float32)
+    qe = jnp.asarray(rng.randn(1, 5, 32), jnp.float32)
+    rp = jnp.asarray(rng.rand(1, 5, 4), jnp.float32)
+
+    exact = MOTRTransformer(dim=32, n_heads=4, enc_layers=2, dec_layers=1,
+                            ffn_dim=64)
+    lite = MOTRTransformer(dim=32, n_heads=4, enc_layers=2, dec_layers=1,
+                           ffn_dim=64, lite_encoder=True)
+    v = exact.init(jax.random.PRNGKey(0), src, shapes, pos, qe, rp)
+    v_lite = lite.init(jax.random.PRNGKey(0), src, shapes, pos, qe, rp)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v_lite)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(v_lite)[0]):
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
+
+    out_e = exact.apply(v, src, shapes, pos, qe, rp)
+    out_l = lite.apply(v, src, shapes, pos, qe, rp)   # same weights
+    assert out_l["hidden"][-1].shape == out_e["hidden"][-1].shape
+    assert out_l["refs"][-1].shape == out_e["refs"][-1].shape
+    assert np.isfinite(np.asarray(out_l["refs"][-1])).all()
+    # different numerics: stride-4 queries skip the encoder refinement
+    assert float(np.abs(np.asarray(out_l["hidden"][-1])
+                        - np.asarray(out_e["hidden"][-1])).max()) > 1e-6
