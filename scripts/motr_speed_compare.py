@@ -1,0 +1,52 @@
+"""MOTR streaming frame latency: exact f32 vs bf16 vs lite-encoder on one
+chip (fv0 dynamic backbone, 1536x800, 60 queries, 6 enc / 6 dec — the
+ROUND_NOTES 1.64 s/frame configuration). Chained-fetch timing; merges into
+PROFILE_DOWNSTREAM.json under motr_1536x800_fv0.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from profile_downstream import _emit, time_fn  # noqa: E402
+
+
+def main():
+    from fastervit_tpu.models.registry import get_config
+    from fastervit_tpu.tracking.motr_exact import MOTRDetectorExact
+
+    out_path = "PROFILE_DOWNSTREAM.json"
+    section = "motr_1536x800_fv0"
+    jnp.zeros((8, 128)).sum().item()     # discard first program
+
+    cfg = get_config("faster_vit_0_224", resolution=1536)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 800, 1536, 3), jnp.float32)
+    nq = 60
+    qp = jnp.asarray(rng.randn(1, nq, 256), jnp.float32)
+    rp = jnp.asarray(rng.rand(1, nq, 4), jnp.float32)
+    rows = {}
+
+    for key, kw in {
+        "frame_exact_f32": {},
+        "frame_bf16": {"dtype": jnp.bfloat16},
+        "frame_lite_encoder": {"lite_encoder": True},
+        "frame_lite_bf16": {"lite_encoder": True, "dtype": jnp.bfloat16},
+    }.items():
+        det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
+                                enc_layers=6, dec_layers=6, **kw)
+        v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
+        t, c = time_fn(lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
+                       (v, x, qp, rp), iters=6)
+        _emit(rows, key, t, out_path, section)
+        del det, v
+
+
+if __name__ == "__main__":
+    main()
