@@ -110,3 +110,46 @@ def test_fused_train_step_learns(cpu_devices):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_fused_step_matches_two_phase_loss(cpu_devices):
+    """On a batch whose cost matrices have a unique optimum, the fused
+    (auction) step computes exactly the two-phase (host Hungarian) loss —
+    pinning the fused path's cost->assignment->loss plumbing to the
+    reference-semantics engine."""
+    import optax
+    from fastervit_tpu.detection.dino import DINODetector
+    from fastervit_tpu.detection.engine import (loss_layers, make_cost_fn,
+                                                make_detection_train_step,
+                                                make_fused_detection_train_step,
+                                                pad_targets, solve_assignments)
+    from fastervit_tpu.models.registry import get_config
+
+    cfg = get_config("faster_vit_0_224", resolution=64, depths=[1, 1, 1, 1],
+                     dim=32, in_dim=16, num_heads=[1, 2, 4, 8])
+    det = DINODetector(backbone_cfg=cfg, num_classes=5, dim=32,
+                       num_queries=8, enc_layers=1, dec_layers=1,
+                       num_feature_levels=4)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    v = det.init(jax.random.PRNGKey(0), x[:1])
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(v["params"])
+    targets = [{"boxes": np.asarray([[0.5, 0.5, 0.2, 0.2],
+                                     [0.2, 0.3, 0.1, 0.1]], np.float32),
+                "labels": np.asarray([1, 3], np.int32)} for _ in range(2)]
+    tgt = jax.tree.map(jnp.asarray, pad_targets(targets, 4))
+
+    out = det.apply(v, x)
+    nl = len(loss_layers(out)[0])
+    costs = make_cost_fn(nl)(out, tgt)
+    assignment = jnp.asarray(solve_assignments(
+        [np.asarray(c) for c in costs], np.asarray(tgt["mask"])))
+    two_phase = make_detection_train_step(det, tx)
+    _, _, m_ref, _ = two_phase(v["params"], v.get("batch_stats", {}),
+                               opt_state, x, tgt, assignment)
+    fused = make_fused_detection_train_step(det, tx, nl)
+    _, _, m_fused, _ = fused(v["params"], v.get("batch_stats", {}),
+                             opt_state, x, tgt)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
