@@ -62,7 +62,9 @@ def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
             if g in prev_match and prev_match[g] != p:
                 idsw += 1
             prev_match[g] = p
-    mota = 1.0 - (fn + fp + idsw) / max(1, gt_total)
+    # TrackEval clear.py:178 numerator form: identical to
+    # 1 - (FN+FP+IDSW)/gt when gt > 0, but 0 (not 1) for empty sequences
+    mota = (tp - fp - idsw) / max(1, gt_total)
     # track-level stats (TrackEval clear.py:99-122): MT tracked-ratio > 0.8,
     # PT >= 0.2, ML the rest; Frag counts untracked->tracked re-acquisitions
     # (any unmatched or absent timestep breaks the run) minus the first
