@@ -63,8 +63,9 @@ def clear_metrics(data: Dict, threshold: float = 0.5) -> Dict[str, float]:
                 idsw += 1
             prev_match[g] = p
     # TrackEval clear.py:178 numerator form: identical to
-    # 1 - (FN+FP+IDSW)/gt when gt > 0, but 0 (not 1) for empty sequences
-    mota = (tp - fp - idsw) / max(1, gt_total)
+    # 1 - (FN+FP+IDSW)/gt when gt > 0. Sequences with no gt return MOTA 0
+    # regardless of FPs (clear.py:51-54 early path skips the final fields).
+    mota = (tp - fp - idsw) / gt_total if gt_total else 0.0
     # track-level stats (TrackEval clear.py:99-122): MT tracked-ratio > 0.8,
     # PT >= 0.2, ML the rest; Frag counts untracked->tracked re-acquisitions
     # (any unmatched or absent timestep breaks the run) minus the first
@@ -292,14 +293,18 @@ def track_map_metrics(sequences: List[Dict],
 
     sequences: list of {'gt_tracks': [ {frame: box_xyxy} ],
                         'dt_tracks': [ {frame: box_xyxy} ],
-                        'dt_scores': [float] }.
+                        'dt_scores': [float],
+                        'ignore_unmatched_dt': bool (optional)}.
     Detections are score-sorted before greedy matching (TAO convention).
+    ignore_unmatched_dt reproduces the TAO not-exhaustively-labeled rule
+    (track_map.py:155-157): unmatched detections of such sequences are
+    neither TPs nor FPs, while matched ones still count as TPs.
     Returns {'TrackmAP', 'TrackAP50', 'TrackAP75'}."""
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 0.99, 0.05)
     rec_thrs = np.linspace(0.0, 1.0, 101)
     n_thr = len(iou_thresholds)
-    all_scores, all_matched = [], []
+    all_scores, all_matched, all_ignored = [], [], []
     num_gt = 0
     for seq in sequences:
         gt, dt = seq["gt_tracks"], seq["dt_tracks"]
@@ -324,16 +329,20 @@ def track_map_metrics(sequences: List[Dict],
                     matched[ti, di] = True
         all_scores.append(scores)
         all_matched.append(matched)
+        all_ignored.append(~matched if seq.get("ignore_unmatched_dt")
+                           else np.zeros_like(matched))
     if not all_scores or num_gt == 0:
         return {"TrackmAP": 0.0, "TrackAP50": 0.0, "TrackAP75": 0.0}
     scores = np.concatenate(all_scores)
     matched = np.concatenate(all_matched, axis=1)
+    ignored = np.concatenate(all_ignored, axis=1)
     order = np.argsort(-scores, kind="mergesort")
     matched = matched[:, order]
+    ignored = ignored[:, order]
     aps = np.zeros(n_thr)
     for ti in range(n_thr):
         tp = np.cumsum(matched[ti])
-        fp = np.cumsum(~matched[ti])
+        fp = np.cumsum(~matched[ti] & ~ignored[ti])
         rc = tp / num_gt
         pr = tp / np.maximum(tp + fp, EPS)
         # precision envelope + 101-point interpolation (COCO accumulate)
