@@ -237,6 +237,82 @@ class MOTChallengeDataset:
         return results
 
 
+class HeadTrackingDataset(MOTChallengeDataset):
+    """Head Tracking Challenge (CroHD) benchmark adapter (TrackEval
+    head_tracking_challenge.py): MOTChallenge layout with benchmark 'HT'.
+
+    Differences from MOT (head_tracking_challenge.py:76, 383-412):
+      * class map pedestrian/static/ignore/person_on_vehicle (1-4); every
+        non-pedestrian gt class acts as a distractor;
+      * the distractor-matching Hungarian uses IoU >= 0.4 (not 0.5);
+      * tracker dets matched to INVISIBLE gt (visibility column == 0) are
+        also removed. The reference's zero-confidence condition is dead
+        code (`np.logical_or(a, b, c)` uses c as the out parameter,
+        head_tracking_challenge.py:387) — so dets matched to zero-marked
+        gt are kept, and this adapter reproduces that behavior;
+      * gt is kept only if pedestrian with conf > 0 and visibility > 0;
+      * tracker files must be single-class (class id <= 1).
+    """
+
+    benchmark_default = "HT"
+    distractor_names: Sequence[str] = ()
+    HT_CLASS_IDS = {"pedestrian": 1, "static": 2, "ignore": 3,
+                    "person_on_vehicle": 4}
+    match_threshold = 0.4
+
+    def sequence_data(self, tracker: str, seq: str) -> Dict:
+        gt_rows = load_mot_rows(
+            self.gt_loc_format.format(gt_folder=self.gt_fol, seq=seq))
+        trk_rows = load_mot_rows(os.path.join(
+            self.tracker_fol, tracker, self.tracker_sub_fol, seq + ".txt"))
+        nt = self.seq_lengths[seq]
+        gt_idmap: Dict[int, int] = {}
+        trk_idmap: Dict[int, int] = {}
+        gt_ids, trk_ids, sims = [], [], []
+        gt_dets_n = trk_dets_n = 0
+        valid = set(self.HT_CLASS_IDS.values())
+        for t in range(1, nt + 1):
+            g = gt_rows.get(t, np.zeros((0, 9)))
+            d = trk_rows.get(t, np.zeros((0, 9)))
+            bad_cls = set(g[:, 7].astype(int)) - valid
+            if bad_cls:
+                raise ValueError(f"invalid gt classes in {seq}: {bad_cls}")
+            if len(d) and d[:, 7].max() > 1:
+                raise ValueError(
+                    f"evaluation is only valid for the pedestrian class; "
+                    f"found class {int(d[:, 7].max())} in {seq}")
+            sim = _iou_xywh(g[:, 2:6], d[:, 2:6])
+            keep_trk = np.ones(len(d), bool)
+            if self.do_preproc and len(g) and len(d):
+                ms = sim.copy()
+                ms[ms < self.match_threshold - EPS] = 0
+                r, c = linear_sum_assignment(-ms)
+                ok = ms[r, c] > EPS
+                r, c = r[ok], c[ok]
+                remove = (g[r, 7].astype(int) != 1) | (g[r, 8] < EPS)
+                keep_trk[c[remove]] = False
+            keep_gt = ((g[:, 6] > 0) & (g[:, 7].astype(int) == 1)
+                       & (g[:, 8] > 0))
+            g, d = g[keep_gt], d[keep_trk]
+            sim = sim[keep_gt][:, keep_trk]
+            for i in g[:, 1].astype(int):
+                gt_idmap.setdefault(i, len(gt_idmap))
+            for i in d[:, 1].astype(int):
+                trk_idmap.setdefault(i, len(trk_idmap))
+            gt_ids.append(np.asarray([gt_idmap[i] for i in
+                                      g[:, 1].astype(int)], int))
+            trk_ids.append(np.asarray([trk_idmap[i] for i in
+                                       d[:, 1].astype(int)], int))
+            sims.append(sim)
+            gt_dets_n += len(g)
+            trk_dets_n += len(d)
+        return {"num_gt_ids": len(gt_idmap),
+                "num_tracker_ids": len(trk_idmap),
+                "num_gt_dets": gt_dets_n, "num_tracker_dets": trk_dets_n,
+                "gt_ids": gt_ids, "tracker_ids": trk_ids,
+                "similarity_scores": sims}
+
+
 class DanceTrackDataset(MOTChallengeDataset):
     """DanceTrack benchmark adapter: MOTChallenge layout, single class, no
     distractor preprocessing (every annotation is class 1)."""

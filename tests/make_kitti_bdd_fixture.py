@@ -152,7 +152,49 @@ def make_bdd(root):
        [json.dumps(trk_b)])
 
 
+def mot_row(t, tid, box, conf=1, cls=1, vis=1.0):
+    x, y, w, h = box
+    return f"{t},{tid},{x},{y},{w},{h},{conf},{cls},{vis}"
+
+
+def make_ht(root):
+    """Head Tracking (CroHD) mini benchmark: visibility-zero and
+    zero-marked gt, a static-class distractor, plain FPs."""
+    gt, trk = [], []
+    for t in range(1, 13):
+        # ped 1: tracked throughout
+        gt.append(mot_row(t, 1, (50 + 3 * t, 40, 20, 24)))
+        trk.append(mot_row(t, 31, (51 + 3 * t, 41, 20, 24)))
+        # ped 2: invisible from frame 7 on; follower dets there removed
+        vis = 1.0 if t <= 6 else 0.0
+        gt.append(mot_row(t, 2, (150, 60, 22, 26), vis=vis))
+        trk.append(mot_row(t, 32, (151, 61, 22, 26)))
+        # static head 3 (class 2): follower removed as distractor
+        gt.append(mot_row(t, 3, (250, 80, 20, 22), cls=2))
+        if t <= 4:
+            trk.append(mot_row(t, 33, (250, 80, 20, 22)))
+        # zero-marked ped 4: gt excluded; its follower dets are KEPT
+        # (the reference's conf<eps removal is dead code)
+        gt.append(mot_row(t, 4, (350, 100, 20, 22), conf=0))
+        if t <= 5:
+            trk.append(mot_row(t, 34, (351, 101, 20, 22)))
+        # free-space FP
+        if t <= 3:
+            trk.append(mot_row(t, 35, (450, 150, 18, 20)))
+    seq = "HT-mini-01"
+    _w(os.path.join(root, "gt", "mot_challenge", "HT-train", seq,
+                    "gt", "gt.txt"), gt)
+    _w(os.path.join(root, "gt", "mot_challenge", "HT-train", seq,
+                    "seqinfo.ini"),
+       ["[Sequence]", f"name={seq}", "seqLength=12"])
+    _w(os.path.join(root, "gt", "mot_challenge", "seqmaps", "HT-train.txt"),
+       ["name", seq])
+    _w(os.path.join(root, "trackers", "mot_challenge", "HT-train",
+                    "minitracker", "data", seq + ".txt"), trk)
+
+
 if __name__ == "__main__":
     make_kitti(os.path.join(ROOT, "kitti_mini"))
     make_bdd(os.path.join(ROOT, "bdd_mini"))
+    make_ht(os.path.join(ROOT, "ht_mini"))
     print("fixtures written under", ROOT)

@@ -14,10 +14,12 @@ import pytest
 pytestmark = pytest.mark.smoke
 
 from fastervit_tpu.tracking.benchmarks import (BDD100KDataset,
+                                               HeadTrackingDataset,
                                                KITTI2DBoxDataset,
                                                class_averaged)
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
+HT = os.path.join(DATA, "ht_mini")
 KITTI = os.path.join(DATA, "kitti_mini")
 BDD = os.path.join(DATA, "bdd_mini")
 
@@ -127,6 +129,40 @@ def test_kitti_detailed_csv(tmp_path, kitti_results):
     assert abs(got["COMBINED_SEQ"]["HOTA"]
                - kitti_results["car"]["COMBINED_SEQ"]["HOTA"]) < 1e-6
     assert set(got) == {"0000", "0001", "COMBINED_SEQ"}
+
+
+def test_head_tracking_oracle():
+    """Exercises: 0.4 matching threshold, invisible-gt removal, the
+    static-class distractor, and the reference's dead zero-confidence
+    condition (dets matched to zero-marked gt stay as FPs: 5 of the 8)."""
+    ds = HeadTrackingDataset(os.path.join(HT, "gt", "mot_challenge"),
+                             os.path.join(HT, "trackers", "mot_challenge"),
+                             split="train")
+    res = ds.evaluate()["minitracker"]
+    _check(res["COMBINED_SEQ"], {
+        "HOTA": 0.700674, "DetA": 0.582996, "AssA": 0.842105,
+        "LocA": 0.865058, "MOTA": 0.555556, "MOTP": 0.839757, "IDSW": 0,
+        "CLR_TP": 18, "CLR_FN": 0, "CLR_FP": 8, "MT": 2, "ML": 0,
+        "IDF1": 0.818182})
+    d = ds.sequence_data("minitracker", "HT-mini-01")
+    assert d["num_gt_ids"] == 2           # static + zero-marked excluded
+    assert d["num_tracker_ids"] == 4      # 31, 32, 34, 35 (33 removed)
+
+
+def test_head_tracking_validations():
+    ds = HeadTrackingDataset(os.path.join(HT, "gt", "mot_challenge"),
+                             os.path.join(HT, "trackers", "mot_challenge"),
+                             split="train")
+    import numpy as np
+    from fastervit_tpu.tracking import benchmarks as B
+    rows = {1: np.array([[1, 1, 0, 0, 5, 5, 1, 7, 1]], float)}
+    orig = B.load_mot_rows
+    try:
+        B.load_mot_rows = lambda path: rows   # gt class 7 is invalid for HT
+        with pytest.raises(ValueError, match="invalid gt classes"):
+            ds.sequence_data("minitracker", "HT-mini-01")
+    finally:
+        B.load_mot_rows = orig
 
 
 def test_kitti_invalid_class_and_missing_files(tmp_path):
