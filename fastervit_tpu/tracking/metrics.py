@@ -286,6 +286,26 @@ def track_iou_3d(dt_track: Dict[int, np.ndarray],
     return intersect / union if union > 0 else 0.0
 
 
+def track_iou_3d_mask(dt_track: Dict[int, np.ndarray],
+                      gt_track: Dict[int, np.ndarray]) -> float:
+    """Spatio-temporal track IoU over boolean masks (TrackEval track_map.py
+    _compute_mask_track_iou): summed per-frame mask intersections over
+    summed per-frame unions across the union of both tracks' frames."""
+    intersect = union = 0
+    for t in set(gt_track) | set(dt_track):
+        g = gt_track.get(t)
+        d = dt_track.get(t)
+        if d is not None and g is not None:
+            i = int((d & g).sum())
+            union += int(d.sum()) + int(g.sum()) - i
+            intersect += i
+        elif g is not None:
+            union += int(g.sum())
+        elif d is not None:
+            union += int(d.sum())
+    return intersect / union if union > 0 else 0.0
+
+
 def track_map_metrics(sequences: List[Dict],
                       iou_thresholds: np.ndarray = None) -> Dict[str, float]:
     """TrackMAP (TrackEval track_map.py / TAO protocol, base ignore mask):
@@ -294,11 +314,18 @@ def track_map_metrics(sequences: List[Dict],
     sequences: list of {'gt_tracks': [ {frame: box_xyxy} ],
                         'dt_tracks': [ {frame: box_xyxy} ],
                         'dt_scores': [float],
-                        'ignore_unmatched_dt': bool (optional)}.
+                        'ignore_unmatched_dt': bool (optional),
+                        'gt_ignore': [bool] (optional),
+                        'iou_type': 'bbox'|'mask' (optional)}.
     Detections are score-sorted before greedy matching (TAO convention).
     ignore_unmatched_dt reproduces the TAO not-exhaustively-labeled rule
     (track_map.py:155-157): unmatched detections of such sequences are
     neither TPs nor FPs, while matched ones still count as TPs.
+    gt_ignore reproduces the YouTube-VIS crowd rule (track_map.py:343-346):
+    ignored gt match only when no regular gt is available, don't count in
+    the recall denominator, and ignore the detections matched to them.
+    iou_type 'mask' computes the 3D track IoU over RLE masks
+    (track_map.py:384-410) — track frames map to RLE dicts, not boxes.
     Returns {'TrackmAP', 'TrackAP50', 'TrackAP75'}."""
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 0.99, 0.05)
@@ -308,29 +335,48 @@ def track_map_metrics(sequences: List[Dict],
     num_gt = 0
     for seq in sequences:
         gt, dt = seq["gt_tracks"], seq["dt_tracks"]
+        if seq.get("iou_type", "bbox") == "mask":
+            from fastervit_tpu.utils.rle import rle_decode
+            decode = lambda tr: {f: rle_decode(r).astype(bool)
+                                 for f, r in tr.items() if r is not None}
+            gt = [decode(g) for g in gt]
+            dt = [decode(d) for d in dt]
+            iou_fn = track_iou_3d_mask
+        else:
+            iou_fn = track_iou_3d
         scores = np.asarray(seq["dt_scores"], float)
         order = np.argsort(-scores, kind="mergesort")
-        num_gt += len(gt)
+        gt_ig = np.asarray(seq.get("gt_ignore", [0] * len(gt)), bool)
+        num_gt += int((~gt_ig).sum())
+        # regular gt first (ignored sorted last, track_map.py:133-135)
+        gt_order = np.argsort(gt_ig, kind="mergesort")
         ious = np.zeros((len(dt), len(gt)))
         for di, d in enumerate(dt):
             for gi, g in enumerate(gt):
-                ious[di, gi] = track_iou_3d(d, g)
+                ious[di, gi] = iou_fn(d, g)
         matched = np.zeros((n_thr, len(dt)), bool)
+        ig_match = np.zeros((n_thr, len(dt)), bool)
         for ti, thr in enumerate(iou_thresholds):
             gt_taken = np.zeros(len(gt), bool)
             for di in order:
                 best, best_iou = -1, min(thr, 1 - 1e-10)
-                for gi in range(len(gt)):
+                for gi in gt_order:
                     if gt_taken[gi] or ious[di, gi] < best_iou - EPS:
                         continue
+                    # a regular match is never displaced by an ignored gt
+                    if best >= 0 and not gt_ig[best] and gt_ig[gi]:
+                        break
                     best, best_iou = gi, ious[di, gi]
                 if best >= 0:
                     gt_taken[best] = True
                     matched[ti, di] = True
+                    ig_match[ti, di] = gt_ig[best]
         all_scores.append(scores)
-        all_matched.append(matched)
-        all_ignored.append(~matched if seq.get("ignore_unmatched_dt")
-                           else np.zeros_like(matched))
+        all_matched.append(matched & ~ig_match)
+        ignored = ig_match.copy()
+        if seq.get("ignore_unmatched_dt"):
+            ignored |= ~matched
+        all_ignored.append(ignored)
     if not all_scores or num_gt == 0:
         return {"TrackmAP": 0.0, "TrackAP50": 0.0, "TrackAP75": 0.0}
     scores = np.concatenate(all_scores)

@@ -83,6 +83,19 @@ def rle_decode(rle: Dict) -> np.ndarray:
     return flat.reshape((h, w), order="F")
 
 
+def as_compressed(seg: Dict) -> Dict:
+    """Normalize an RLE dict to the compressed form: accepts uncompressed
+    counts (a list of run lengths, the pycocotools frPyObjects input form),
+    bytes, or an already-compressed string. Polygon segmentations are not
+    supported."""
+    c = seg["counts"]
+    if isinstance(c, (list, tuple)):
+        c = _counts_to_string(c)
+    elif isinstance(c, bytes):
+        c = c.decode("utf-8")
+    return {"size": list(seg["size"]), "counts": c}
+
+
 def rle_area(rle: Dict) -> int:
     cnts = _string_to_counts(rle["counts"])
     return int(sum(cnts[1::2]))

@@ -96,7 +96,68 @@ def make_kitti_mots(root):
        trk2)
 
 
+def make_ytvis(root):
+    """YouTube-VIS mini benchmark: gt tracks with uncompressed-RLE
+    segmentations (the frPyObjects input form), a crowd track, None frames,
+    and a tracker json with compressed-RLE results."""
+    import json
+
+    from fastervit_tpu.utils.rle import _string_to_counts
+
+    def unc(rle):        # compressed -> uncompressed counts list
+        return {"size": rle["size"], "counts": _string_to_counts(
+            rle["counts"])}
+
+    def gt_track(tid, vid, cat, segs, iscrowd=0):
+        return {"id": tid, "video_id": vid, "category_id": cat,
+                "segmentations": [unc(s) if s else None for s in segs],
+                "areas": None,   # filled below from the run lengths
+                "iscrowd": iscrowd, "height": H, "width": W}
+
+    videos = [{"id": 1, "height": H, "width": W,
+               "file_names": [f"vidA/{k:05d}.jpg" for k in range(5)]},
+              {"id": 2, "height": H, "width": W,
+               "file_names": [f"vidB/{k:05d}.jpg" for k in range(4)]}]
+    categories = [{"id": 1, "name": "person"}, {"id": 2, "name": "dog"}]
+
+    t1 = [rect(10 + 4 * k, 20, 40 + 4 * k, 80) for k in range(5)]
+    crowd = [rect(150, 10, 230, 110)] * 5
+    t3 = [None, rect(60, 90, 100, 115), rect(62, 90, 102, 115),
+          rect(64, 90, 104, 115), None]
+    t4 = [rect(100, 30, 140, 95)] * 4
+    anns = [gt_track(1, 1, 1, t1), gt_track(2, 1, 1, crowd, iscrowd=1),
+            gt_track(3, 1, 2, t3), gt_track(4, 2, 1, t4)]
+    # fix areas: per-frame mask area or None
+    for ann in anns:
+        ann["areas"] = [None if s is None else int(sum(s["counts"][1::2]))
+                        for s in ann["segmentations"]]
+    gt = {"videos": videos, "categories": categories, "annotations": anns}
+
+    def dt(vid, cat, score, segs):
+        return {"video_id": vid, "category_id": cat, "score": score,
+                "segmentations": [s if s else None for s in segs]}
+
+    results = [
+        dt(1, 1, 0.9, [rect(12 + 4 * k, 22, 42 + 4 * k, 82)
+                       for k in range(5)]),          # follows track 1
+        dt(1, 1, 0.8, [rect(160, 20, 225, 105)] * 5),  # inside crowd
+        dt(1, 2, 0.7, [None, rect(61, 91, 101, 116), rect(63, 91, 103, 116),
+                       rect(65, 91, 105, 116), None]),  # follows track 3
+        dt(1, 1, 0.6, [rect(150, 115, 180, 120)] * 3 + [None, None]),  # FP
+        dt(2, 1, 0.85, [rect(101, 31, 141, 96)] * 4),  # follows track 4
+    ]
+    os.makedirs(os.path.join(root, "gt"), exist_ok=True)
+    os.makedirs(os.path.join(root, "trackers", "minitracker", "data"),
+                exist_ok=True)
+    with open(os.path.join(root, "gt", "ytvis_mini.json"), "w") as f:
+        json.dump(gt, f)
+    with open(os.path.join(root, "trackers", "minitracker", "data",
+                           "results.json"), "w") as f:
+        json.dump(results, f)
+
+
 if __name__ == "__main__":
     make_mots(os.path.join(ROOT, "mots_mini"))
     make_kitti_mots(os.path.join(ROOT, "kitti_mots_mini"))
+    make_ytvis(os.path.join(ROOT, "ytvis_mini"))
     print("fixtures written under", ROOT)
