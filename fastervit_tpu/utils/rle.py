@@ -113,6 +113,17 @@ def rle_merge(rles: List[Dict], intersect: bool = False) -> Dict:
     return rle_encode(out)
 
 
+def rle_to_bbox(rle: Dict) -> np.ndarray:
+    """Tight bounding box [x, y, w, h] of an RLE mask (pycocotools toBbox
+    semantics); zeros for an empty mask."""
+    m = rle_decode(rle)
+    ys, xs = np.nonzero(m)
+    if len(xs) == 0:
+        return np.zeros(4)
+    return np.asarray([xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                       ys.max() - ys.min() + 1], float)
+
+
 def rle_iou(dt: List[Dict], gt: List[Dict],
             iscrowd: Optional[Sequence[int]] = None) -> np.ndarray:
     """(len(dt), len(gt)) mask IoU; for crowd gt the denominator is the dt
