@@ -46,6 +46,7 @@ class FasterViTLayer(nn.Module):
     hierarchy: bool = True
     do_propagation: bool = False
     dynamic_mode: bool = False   # downstream runtime-dynamic variant
+    quantized: bool = False      # int8 serving (ops/quant.py)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -85,7 +86,8 @@ class FasterViTLayer(nn.Module):
                             attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                             layer_scale=self.layer_scale, last=(i == self.depth - 1),
                             do_propagation=self.do_propagation,
-                            dynamic_mode=self.dynamic_mode, dtype=self.dtype,
+                            dynamic_mode=self.dynamic_mode,
+                            quantized=self.quantized, dtype=self.dtype,
                             attn_impl=self.attn_impl,
                             name=f"blocks_{i}")(x, ct, deterministic=deterministic)
             x = window_reverse(x, ws, hp, wp)
@@ -100,7 +102,8 @@ class FasterViTLayer(nn.Module):
         return x
 
 
-def _build_levels(cfg: FasterViTConfig, dtype, attn_impl, dynamic_mode=False):
+def _build_levels(cfg: FasterViTConfig, dtype, attn_impl, dynamic_mode=False,
+                  quantized=False):
     """Construct the four stage modules; must be called inside an active
     @nn.compact context so the layers bind to the calling module."""
     dpr = cfg.drop_path_schedule()
@@ -118,7 +121,8 @@ def _build_levels(cfg: FasterViTConfig, dtype, attn_impl, dynamic_mode=False):
             layer_scale=cfg.layer_scale, layer_scale_conv=cfg.layer_scale_conv,
             only_local=not cfg.hat[i], hierarchy=True,
             do_propagation=cfg.do_propagation, dynamic_mode=dynamic_mode,
-            dtype=dtype, attn_impl=attn_impl, name=f"levels_{i}"))
+            quantized=quantized, dtype=dtype, attn_impl=attn_impl,
+            name=f"levels_{i}"))
     return levels
 
 
@@ -131,6 +135,7 @@ class FasterViT(nn.Module):
     cfg: FasterViTConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quantized: bool = False   # int8 serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, training: bool = False,
@@ -138,7 +143,8 @@ class FasterViT(nn.Module):
         cfg = self.cfg
         x = PatchEmbed(in_dim=cfg.in_dim, dim=cfg.dim, dtype=self.dtype,
                        name="patch_embed")(x, training=training)
-        for level in _build_levels(cfg, self.dtype, self.attn_impl):
+        for level in _build_levels(cfg, self.dtype, self.attn_impl,
+                                   quantized=self.quantized):
             x = level(x, training=training)
         if cfg.layer_norm_last:
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)

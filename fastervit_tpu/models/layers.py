@@ -449,6 +449,7 @@ class HAT(nn.Module):
     last: bool = False
     do_propagation: bool = False
     dynamic_mode: bool = False   # downstream runtime-dynamic variant (dino/motr)
+    quantized: bool = False      # int8 serving (ops/quant.py): composed path only
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -480,7 +481,9 @@ class HAT(nn.Module):
         # with the packed Pallas attention (2638 img/s) — the fully-fused
         # kernel's recompute VJP is slower (2151); the fused kernel serves
         # the deterministic/inference path.
-        use_fused = (impl == "pallas"
+        # int8 serving reads kernel_q via the Dense/Conv interceptor, which
+        # the fused kernel's raw-param path would bypass.
+        use_fused = (impl == "pallas" and not self.quantized
                      and self.drop == 0.0 and self.attn_drop == 0.0)
         if use_fused:
             dp1 = dp2 = None

@@ -82,7 +82,16 @@ class Model:
         if training:
             return self.module.apply(variables, x, training=True, rngs=rngs,
                                      mutable=["batch_stats"], **kwargs)
+        if getattr(self.module, "quantized", False):
+            from fastervit_tpu.ops.quant import quantized_call
+            return quantized_call(self.module.apply, variables, x, **kwargs)
         return self.module.apply(variables, x, **kwargs)
+
+    def quantize_variables(self, variables):
+        """Offline int8 weight quantization for the serving path (pair with
+        create_model(..., quantized=True)); see ops/quant.py."""
+        from fastervit_tpu.ops.quant import quantize_variables
+        return quantize_variables(variables)
 
     def load_pytorch(self, checkpoint_path: str):
         """Convert a reference PyTorch checkpoint into this model's variables."""
@@ -104,7 +113,8 @@ class Model:
 
 def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
                  dtype=jnp.float32, attn_impl: str = "auto",
-                 pyramid: bool = False, **kwargs) -> Model:
+                 pyramid: bool = False, quantized: bool = False,
+                 **kwargs) -> Model:
     """Build a FasterViT model by name (reference registry.py:195-205).
 
     `pretrained=True` requires a locally available reference checkpoint at
@@ -115,7 +125,14 @@ def create_model(name: str, pretrained: bool = False, checkpoint_path: str = "",
         raise KeyError(f"unknown model {name!r}; see list_models()")
     cfg = get_config(name, **kwargs)
     cls = FasterViTPyramid if pyramid else FasterViT
-    model = Model(module=cls(cfg=cfg, dtype=dtype, attn_impl=attn_impl), cfg=cfg)
+    extra = {}
+    if quantized:
+        if pyramid:
+            raise ValueError("int8 serving covers the classifier path; "
+                             "pyramid backbones run bf16")
+        extra["quantized"] = True
+    model = Model(module=cls(cfg=cfg, dtype=dtype, attn_impl=attn_impl,
+                             **extra), cfg=cfg)
     if pretrained and not checkpoint_path:
         raise ValueError("pretrained=True needs checkpoint_path (no network egress); "
                          "download the reference .pth.tar manually")

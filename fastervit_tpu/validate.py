@@ -36,6 +36,17 @@ class _MaskedModule:
         return self._module.apply(variables, x, **kw) + self._mask
 
 
+class _QuantizedModule:
+    """Route apply through the int8 interceptor (ops/quant.py)."""
+
+    def __init__(self, module):
+        self._module = module
+
+    def apply(self, variables, x, **kw):
+        from fastervit_tpu.ops.quant import quantized_call
+        return quantized_call(self._module.apply, variables, x, **kw)
+
+
 class _TTAModule:
     """Test-time-augmentation reduction (reference train.py:981-985): the
     loader oversamples each image `factor` times consecutively; logits are
@@ -87,6 +98,8 @@ def validate(model, variables, loader, mesh=None, dtype=jnp.float32,
     mesh = mesh or create_mesh()
     repl, bsh = replicated(mesh), batch_sharding(mesh)
     module = model.module
+    if getattr(module, "quantized", False):
+        module = _QuantizedModule(module)
     if logit_mask is not None:
         module = _MaskedModule(module, logit_mask)
     if tta > 1:
@@ -160,6 +173,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving path: weights quantized offline, "
+                        "activations dynamically (ops/quant.py)")
     p.add_argument("--synthetic", action="store_true",
                    help="random data (smoke test / throughput only)")
     p.add_argument("--class-index-file", default="",
@@ -173,7 +189,8 @@ def main(argv=None):
     names = list_models(args.model) or [args.model]
     results = []
     for name in names:
-        model = create_model(name, dtype=getattr(jnp, args.dtype))
+        model = create_model(name, dtype=getattr(jnp, args.dtype),
+                             quantized=args.int8)
         if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
             variables = model.load_pytorch(args.checkpoint)
         elif args.checkpoint:
@@ -182,6 +199,8 @@ def main(argv=None):
         else:
             log.warning("no checkpoint: random weights (smoke test)")
             variables = model.init(jax.random.PRNGKey(0))
+        if args.int8:
+            variables = model.quantize_variables(variables)
 
         logit_mask = None
         if args.synthetic or not args.data_dir:

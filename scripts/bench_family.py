@@ -27,25 +27,34 @@ FAMILY = [
     ("faster_vit_2_224", 224, 256, 3161.0),
     ("faster_vit_3_224", 224, 64, 1780.0),
     ("faster_vit_4_224", 224, 64, 849.0),
-    ("faster_vit_5_224", 224, 32, 449.0),
-    ("faster_vit_6_224", 224, 32, 352.0),
+    ("faster_vit_5_224", 224, 64, 449.0),       # batches tuned on-chip
+    ("faster_vit_6_224", 224, 64, 352.0),       # (scripts/bench_tune.py)
     ("faster_vit_4_21k_224", 224, 64, None),    # README.md:239-277: no
     ("faster_vit_4_21k_384", 384, 32, None),    # throughput column for 21k
-    ("faster_vit_4_21k_512", 512, 16, None),
-    ("faster_vit_4_21k_768", 768, 4, None),
+    ("faster_vit_4_21k_512", 512, 32, None),
+    ("faster_vit_4_21k_768", 768, 16, None),
 ]
 
 
-def bench_one(name, res, batch, iters=20):
+def bench_one(name, res, batch, iters=20, int8=False):
     import fastervit_tpu as fvt
-    model = fvt.create_model(name, dtype=jnp.bfloat16)
+    model = fvt.create_model(name, dtype=jnp.bfloat16, quantized=int8)
     variables = jax.jit(model.module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))
+    if int8:
+        from fastervit_tpu.ops.quant import quantize_variables, quantized_call
+        variables = jax.jit(quantize_variables)(variables)
 
-    @jax.jit
-    def fwd_chained(v, x, s):
-        out = model.module.apply(v, x)
-        return out, s + out[0, 0].astype(jnp.float32)
+        @jax.jit
+        def fwd_chained(v, x, s):
+            out = quantized_call(model.module.apply, v, x)
+            return out, s + out[0, 0].astype(jnp.float32)
+    else:
+
+        @jax.jit
+        def fwd_chained(v, x, s):
+            out = model.module.apply(v, x)
+            return out, s + out[0, 0].astype(jnp.float32)
 
     x = jnp.asarray(np.random.RandomState(0).randn(batch, res, res, 3),
                     jnp.bfloat16)
@@ -70,20 +79,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="", help="comma substrings to select")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving path (ops/quant.py)")
     ap.add_argument("--out", default="BENCH_FAMILY.json")
     args = ap.parse_args()
+    if args.int8 and args.out == "BENCH_FAMILY.json":
+        args.out = "BENCH_FAMILY_INT8.json"  # keep bf16 rows intact
     sel = [m for m in FAMILY
            if not args.models or any(s in m[0]
                                      for s in args.models.split(","))]
     results = []
     for name, res, batch, base in sel:
         try:
-            rate, compile_s = bench_one(name, res, batch, args.iters)
+            rate, compile_s = bench_one(name, res, batch, args.iters,
+                                        int8=args.int8)
             row = {"model": name, "res": res, "batch": batch,
                    "img_s": round(rate, 1),
                    "a100_trt_img_s": base,
                    "vs_baseline": round(rate / base, 3) if base else None,
                    "compile_s": round(compile_s, 1)}
+            if args.int8:
+                row["dtype"] = "int8"
         except Exception as e:  # keep going; record the failure
             row = {"model": name, "res": res, "batch": batch,
                    "error": f"{type(e).__name__}: {e}"[:300]}

@@ -1,0 +1,129 @@
+"""Int8 serving path (ops/quant.py): quantizer structure rules, int8
+kernels vs their f32 reference math, and end-to-end model agreement.
+
+The reference deploys through TensorRT (README.md:33,46), which applies
+weight-static/activation-dynamic int8; this is the TPU-native analog, so
+the tests pin the scheme's own invariants (no torch oracle exists)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fastervit_tpu as fvt
+from fastervit_tpu.ops.quant import (int8_conv, int8_dense, quantize_kernel,
+                                     quantize_variables, quantized_call)
+
+pytestmark = pytest.mark.smoke
+
+
+def test_quantize_kernel_roundtrip():
+    k = np.random.RandomState(0).randn(128, 64).astype(np.float32)
+    kq, scale = quantize_kernel(jnp.asarray(k))
+    assert kq.dtype == jnp.int8 and scale.shape == (64,)
+    deq = np.asarray(kq, np.float32) * np.asarray(scale)
+    # symmetric per-channel: error bounded by half a step per channel
+    step = np.asarray(scale)
+    assert np.all(np.abs(deq - k) <= 0.5 * step + 1e-7)
+    # full int8 range is used per channel
+    assert np.abs(np.asarray(kq)).max(axis=0).min() == 127
+
+
+def test_int8_dense_matches_f32():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(4, 37, 256), jnp.float32)
+    w = jnp.asarray(rs.randn(256, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rs.randn(128) * 0.01, jnp.float32)
+    kq, scale = quantize_kernel(w)
+    y = int8_dense(x, kq, scale, b)
+    ref = x @ w + b
+    assert y.shape == ref.shape
+    err = np.abs(np.asarray(y - ref))
+    # dynamic per-token int8: ~1% relative error on random gaussians
+    assert err.max() / np.abs(np.asarray(ref)).max() < 0.02
+
+
+def test_int8_conv_matches_f32():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 14, 14, 64), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 64, 128) * 0.05, jnp.float32)
+    kq, scale = quantize_kernel(w)
+    y = int8_conv(x, kq, scale, None, (2, 2), [(1, 1), (1, 1)])
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y.shape == ref.shape
+    err = np.abs(np.asarray(y - ref))
+    assert err.max() / np.abs(np.asarray(ref)).max() < 0.02
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    # stage-2 resolution 14 > window 7 so carrier tokens (and the depthwise
+    # tokenizer conv) exist; tiny depths keep this in the smoke tier
+    model = fvt.create_model("faster_vit_0_224", resolution=224,
+                             depths=[1, 1, 1, 1], num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_quantize_variables_structure(tiny_model):
+    model, variables = tiny_model
+    vq = quantize_variables(variables)
+    p = vq["params"]
+    # quantized: attention qkv/proj, MLP, conv blocks, downsample, stem conv2
+    qkv = p["levels_2"]["blocks_0"]["attn"]["qkv"]
+    assert qkv["kernel_q"].dtype == jnp.int8
+    assert "kernel" not in qkv and qkv["kernel_scale"].ndim == 1
+    assert p["levels_0"]["blocks_0"]["conv1"]["kernel_q"].dtype == jnp.int8
+    assert p["patch_embed"]["conv2"]["kernel_q"].dtype == jnp.int8
+    # skipped: stem conv1 (fan-in 27), depthwise tokenizer conv, the
+    # position-bias MLPs, and the classifier head
+    assert "kernel" in p["patch_embed"]["conv1"]
+    assert "kernel" in p["levels_2"]["global_tokenizer"]["pos_embed"]
+    assert "kernel" in p["levels_2"]["blocks_0"]["attn"]["pos_emb_funct"]["fc2"]
+    assert "kernel" in p["head"]
+    # batch_stats untouched
+    assert jax.tree_util.tree_structure(vq["batch_stats"]) == \
+        jax.tree_util.tree_structure(variables["batch_stats"])
+
+
+def test_quantized_model_matches_f32(tiny_model):
+    model, variables = tiny_model
+    mq = fvt.create_model("faster_vit_0_224", resolution=224,
+                          depths=[1, 1, 1, 1], num_classes=10, quantized=True)
+    vq = mq.quantize_variables(variables)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 224, 224, 3),
+                    jnp.float32)
+    y0 = np.asarray(model.apply(variables, x))
+    yq = np.asarray(mq.apply(vq, x))
+    cos = float((y0 * yq).sum() /
+                (np.linalg.norm(y0) * np.linalg.norm(yq)))
+    assert cos > 0.999
+    assert (y0.argmax(-1) == yq.argmax(-1)).all()
+
+
+def test_quantized_flag_falls_back_on_f32_variables(tiny_model):
+    """A quantized module applied to unquantized variables runs the f32
+    math unchanged (interceptor passes through when kernel_q is absent)."""
+    model, variables = tiny_model
+    mq = fvt.create_model("faster_vit_0_224", resolution=224,
+                          depths=[1, 1, 1, 1], num_classes=10, quantized=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 224, 224, 3),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(mq.apply(variables, x)),
+                               np.asarray(model.apply(variables, x)),
+                               atol=2e-5)
+
+
+def test_quantized_call_is_jittable(tiny_model):
+    model, variables = tiny_model
+    mq = fvt.create_model("faster_vit_0_224", resolution=224,
+                          depths=[1, 1, 1, 1], num_classes=10, quantized=True)
+    vq = mq.quantize_variables(variables)
+    fn = jax.jit(lambda v, x: quantized_call(mq.module.apply, v, x))
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 224, 224, 3),
+                    jnp.float32)
+    # jit fusion reorders float ops; activations at a rounding boundary can
+    # flip one int8 bucket, so eager/jit agree loosely, not bitwise
+    np.testing.assert_allclose(np.asarray(fn(vq, x)),
+                               np.asarray(mq.apply(vq, x)), atol=5e-3)
