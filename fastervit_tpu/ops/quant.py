@@ -42,8 +42,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# Layer-name substrings never quantized (accuracy-critical or tiny).
-SKIP_NAME_PARTS = ("pos_emb", "hat_pos_embed", "head")
+# Never-quantized layers (accuracy-critical or tiny), matched per path
+# segment: exact segment names in SKIP_SEGMENTS, segment prefixes in
+# SKIP_SEGMENT_PREFIXES ("pos_emb" covers pos_embed / pos_emb_funct /
+# hat_pos_embed). Segment matching (not substring-of-joined-path) so a
+# future module merely *containing* "head" (e.g. "head_mixer") is not
+# silently excluded.
+SKIP_SEGMENTS = ("head",)
+SKIP_SEGMENT_PREFIXES = ("pos_emb", "hat_pos_embed")
 MIN_FAN_IN = 64
 
 
@@ -57,9 +63,10 @@ def quantize_kernel(kernel: jnp.ndarray):
 
 
 def _eligible(path_names, kernel) -> bool:
-    name = "/".join(path_names).lower()
-    if any(part in name for part in SKIP_NAME_PARTS):
-        return False
+    for seg in path_names:
+        s = seg.lower()
+        if s in SKIP_SEGMENTS or s.startswith(SKIP_SEGMENT_PREFIXES):
+            return False
     if kernel.ndim == 2:
         return kernel.shape[0] >= MIN_FAN_IN
     if kernel.ndim == 4:  # HWIO
@@ -70,29 +77,42 @@ def _eligible(path_names, kernel) -> bool:
     return False
 
 
-def quantize_variables(variables):
+def quantize_variables(variables, verbose: bool = False):
     """Replace eligible `kernel` leaves in the params collection with
     `kernel_q` + `kernel_scale`. Other collections (batch_stats) pass
-    through. Run once offline; the result is the serving checkpoint."""
+    through. Run once offline; the result is the serving checkpoint.
 
+    With verbose=True, logs every kernel that was *skipped* (and why) so
+    quantization coverage is auditable rather than a surprise."""
+
+    import logging
     from collections.abc import Mapping
+
+    log = logging.getLogger(__name__)
+    skipped = []
 
     def walk(tree, path):
         if not isinstance(tree, Mapping):
             return tree
         out = {}
         for k, v in tree.items():
-            if (k == "kernel" and hasattr(v, "ndim")
-                    and _eligible(path, v)):
-                kq, scale = quantize_kernel(jnp.asarray(v, jnp.float32))
-                out["kernel_q"] = kq
-                out["kernel_scale"] = scale
-            else:
-                out[k] = walk(v, path + (k,))
+            if k == "kernel" and hasattr(v, "ndim"):
+                if _eligible(path, v):
+                    kq, scale = quantize_kernel(jnp.asarray(v, jnp.float32))
+                    out["kernel_q"] = kq
+                    out["kernel_scale"] = scale
+                    continue
+                skipped.append("/".join(path))
+            out[k] = walk(v, path + (k,))
         return out
 
-    return {coll: (walk(tree, ()) if coll == "params" else tree)
-            for coll, tree in variables.items()}
+    result = {coll: (walk(tree, ()) if coll == "params" else tree)
+              for coll, tree in variables.items()}
+    if skipped:
+        msg = ("int8: %d kernels left in full precision: %s"
+               % (len(skipped), ", ".join(skipped)))
+        print(msg) if verbose else log.info(msg)
+    return result
 
 
 def int8_dense(x: jnp.ndarray, kernel_q: jnp.ndarray,
@@ -149,9 +169,23 @@ def _normalize_conv_padding(padding, kernel_hw):
     return out
 
 
+def _is_default_dilation(d, nspatial: int) -> bool:
+    if d is None:
+        return True
+    if isinstance(d, int):
+        return d == 1
+    return all(x == 1 for x in d)
+
+
 def quant_interceptor(next_fn, args, kwargs, context):
     """flax intercept_methods hook: route Dense/Conv calls whose params
-    hold `kernel_q` to the int8 kernels; pass everything else through."""
+    hold `kernel_q` to the int8 kernels; pass everything else through.
+
+    The int8 kernels implement the *default* Dense/Conv semantics only.
+    A module carrying `kernel_q` but configured with dilation, masking, or
+    a custom dot_general cannot silently fall through (its params no
+    longer hold a full-precision `kernel`), so such configs raise — add
+    the layer to SKIP_SEGMENTS before quantize_variables instead."""
     mod = context.module
     if (context.method_name == "__call__"
             and isinstance(mod, (nn.Dense, nn.Conv))
@@ -159,7 +193,22 @@ def quant_interceptor(next_fn, args, kwargs, context):
         p = mod.variables["params"]
         bias = p.get("bias") if mod.use_bias else None
         if isinstance(mod, nn.Dense):
+            if getattr(mod, "dot_general", None) is not None:
+                raise NotImplementedError(
+                    f"int8 path does not support custom dot_general on "
+                    f"quantized Dense {mod.path}; skip this layer at "
+                    f"quantize_variables time")
             return int8_dense(args[0], p["kernel_q"], p["kernel_scale"], bias)
+        nsp = len(mod.kernel_size)
+        if (not _is_default_dilation(mod.kernel_dilation, nsp)
+                or not _is_default_dilation(mod.input_dilation, nsp)
+                or mod.mask is not None
+                or getattr(mod, "conv_general_dilated", None) is not None):
+            raise NotImplementedError(
+                f"int8 path supports only default nn.Conv configs "
+                f"(no dilation/mask/custom conv op); quantized Conv "
+                f"{mod.path} has a non-default config — skip this layer "
+                f"at quantize_variables time")
         strides = mod.strides if mod.strides is not None else 1
         if isinstance(strides, int):
             strides = (strides,) * len(mod.kernel_size)
