@@ -36,7 +36,7 @@ FAMILY = [
 ]
 
 
-def bench_one(name, res, batch, iters=20, int8=False):
+def bench_one(name, res, batch, iters=20, int8=False, windows=6):
     import fastervit_tpu as fvt
     model = fvt.create_model(name, dtype=jnp.bfloat16, quantized=int8)
     variables = jax.jit(model.module.init)(
@@ -65,14 +65,17 @@ def bench_one(name, res, batch, iters=20, int8=False):
     compile_s = time.time() - t0
     out, s = fwd_chained(variables, x, s)
     float(s)
+    # median over windows-1 measured windows (first discarded: relay
+    # first-executable cost); min/max kept for spread reporting
     rates = []
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out, s = fwd_chained(variables, x, s)
         float(s)
         rates.append(batch * iters / (time.perf_counter() - t0))
-    return float(np.median(rates)), compile_s
+    kept = sorted(rates[1:])
+    return float(np.median(kept)), compile_s, float(kept[0]), float(kept[-1])
 
 
 def main():
@@ -91,15 +94,16 @@ def main():
     results = []
     for name, res, batch, base in sel:
         try:
-            rate, compile_s = bench_one(name, res, batch, args.iters,
-                                        int8=args.int8)
+            rate, compile_s, lo, hi = bench_one(name, res, batch, args.iters,
+                                                int8=args.int8)
             row = {"model": name, "res": res, "batch": batch,
                    "img_s": round(rate, 1),
+                   "spread_min": round(lo, 1), "spread_max": round(hi, 1),
+                   "windows": 5, "iters_per_window": args.iters,
+                   "dtype": "int8" if args.int8 else "bfloat16",
                    "a100_trt_img_s": base,
                    "vs_baseline": round(rate / base, 3) if base else None,
                    "compile_s": round(compile_s, 1)}
-            if args.int8:
-                row["dtype"] = "int8"
         except Exception as e:  # keep going; record the failure
             row = {"model": name, "res": res, "batch": batch,
                    "error": f"{type(e).__name__}: {e}"[:300]}

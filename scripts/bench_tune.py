@@ -15,9 +15,9 @@ from bench_family import FAMILY, bench_one  # noqa: E402  (scripts/ sibling)
 CANDIDATES = [
     ("faster_vit_5_224", 224, [64, 128], 449.0),
     ("faster_vit_6_224", 224, [64, 128], 352.0),
-    ("faster_vit_4_21k_384", 384, [64], None),
-    ("faster_vit_4_21k_512", 512, [32], None),
-    ("faster_vit_4_21k_768", 768, [8, 16], None),
+    ("faster_vit_4_21k_384", 384, [64, 96], None),
+    ("faster_vit_4_21k_512", 512, [48, 64], None),
+    ("faster_vit_4_21k_768", 768, [24, 32], None),
 ]
 
 
@@ -27,7 +27,7 @@ def main():
     for name, res, batches, base in CANDIDATES:
         for b in batches:
             try:
-                rate, compile_s = bench_one(name, res, b, iters=10)
+                rate, compile_s, lo, hi = bench_one(name, res, b, iters=10)
             except Exception as e:
                 print(f"{name} b{b}: FAIL {type(e).__name__}: {e}"[:200],
                       flush=True)
@@ -38,7 +38,11 @@ def main():
             if rate > prev:
                 merged[name] = {
                     "model": name, "res": res, "batch": b,
-                    "img_s": round(rate, 1), "a100_trt_img_s": base,
+                    "img_s": round(rate, 1),
+                    "spread_min": round(lo, 1), "spread_max": round(hi, 1),
+                    "windows": 5, "iters_per_window": 10,
+                    "dtype": "bfloat16",
+                    "a100_trt_img_s": base,
                     "vs_baseline": round(rate / base, 3) if base else None,
                     "compile_s": round(compile_s, 1)}
                 ordered = [merged[m[0]] for m in FAMILY if m[0] in merged]

@@ -64,9 +64,15 @@ def main():
         tfs = gf * b["img_s"] / 1e3
         mfu = 100.0 * tfs / V5E_PEAK_TFLOPS
         ref = REF_GFLOPS.get(name)
-        rows.append({"model": name, "res": b["res"], "gflops_img": round(gf, 1),
-                     "ref_gflops": ref, "img_s": b["img_s"],
-                     "achieved_tflops": round(tfs, 1), "mfu_pct": round(mfu, 1)})
+        row = {"model": name, "res": b["res"], "gflops_img": round(gf, 1),
+               "ref_gflops": ref, "img_s": b["img_s"],
+               "achieved_tflops": round(tfs, 1), "mfu_pct": round(mfu, 1)}
+        # provenance: carry the bench row's spread so this table is
+        # verifiably derived from the same runs as BENCH_FAMILY.json
+        for k in ("spread_min", "spread_max", "dtype", "batch"):
+            if k in b:
+                row[k] = b[k]
+        rows.append(row)
         print(f"{name:24s} {gf:8.1f} {ref if ref else 0:7.1f} "
               f"{b['img_s']:8.1f} {tfs:7.1f} {mfu:6.1f}", flush=True)
     with open(args.out, "w") as f:
