@@ -43,3 +43,21 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree onto the mesh, batch-sharded."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batch_global(mesh: Mesh, local_batch):
+    """Multi-process analog of shard_batch: each process passes its *local*
+    slice of the global batch (the loader's process_index/process_count
+    sharding, e.g. data/imagenet.py:65) and gets back global batch-sharded
+    jax.Arrays spanning all processes — the DistributedSampler + DDP input
+    contract (reference train.py:392-406) in GSPMD form. Also correct in
+    the single-process case, where it reduces to shard_batch."""
+    sh = batch_sharding(mesh)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sh, x, (x.shape[0] * nproc,) + tuple(x.shape[1:]))
+
+    return jax.tree.map(put, local_batch)
