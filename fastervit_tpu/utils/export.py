@@ -54,7 +54,8 @@ def load_stablehlo(blob: bytes):
 
 
 def export_onnx(model, variables, path: str, torch_model=None,
-                batch_size: Optional[int] = None, opset: int = 17) -> str:
+                batch_size: Optional[int] = None, opset: int = 17,
+                optimize: bool = True) -> str:
     """Write a real .onnx artifact of the forward pass — the reference's
     onnx_convert.py:85-152 leg: flax weights flow through the verified
     reverse converter (utils/convert.export_state_dict) into the PyTorch
@@ -65,6 +66,11 @@ def export_onnx(model, variables, path: str, torch_model=None,
     package (create_model(model.name)); pass explicitly when it isn't
     installed. The exported graph takes NCHW float32 input, exactly like the
     reference's ONNX artifact.
+
+    optimize=True applies constant folding at export (torch.onnx
+    do_constant_folding) — the counterpart of the reference's
+    polygraphy fold-constants Optimizer pass (onnx_convert.py:97-152);
+    verify with utils/onnx_inspect.check_constant_folded.
 
     Works without the `onnx` python package: torch's TorchScript exporter
     serializes the ModelProto in C++; the only step that imports `onnx`
@@ -117,7 +123,8 @@ def export_onnx(model, variables, path: str, torch_model=None,
     with torch.no_grad(), _onnx_pkg_guard():
         torch.onnx.export(torch_model, (x,), path, input_names=["input"],
                           output_names=["output"], dynamic_axes=dyn,
-                          opset_version=opset, dynamo=False)
+                          opset_version=opset, dynamo=False,
+                          do_constant_folding=optimize)
     return path
 
 

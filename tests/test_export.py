@@ -74,3 +74,64 @@ def test_savedmodel_export(tiny, tmp_path):
     got = loaded.f(tf.constant(x)).numpy()
     want = np.asarray(model.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_onnx_inspect_and_constant_folding(tmp_path):
+    """The reference runs a polygraphy fold-constants Optimizer over its
+    exported ONNX (onnx_convert.py:97-152). Our leg folds at export time
+    (torch.onnx do_constant_folding) and verifies structurally via the
+    pure-python proto reader (utils/onnx_inspect) since the `onnx` package
+    cannot be installed here: the folded graph must carry no runtime
+    Constant nodes beyond the unfolded graph and no more total nodes."""
+    pytest.importorskip("torch")
+    from reference_loader import load_reference
+    from fastervit_tpu.utils.export import export_onnx
+    from fastervit_tpu.utils.onnx_inspect import (check_constant_folded,
+                                                  inspect_onnx)
+
+    fv = load_reference()
+    kw = dict(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+              num_classes=10)
+    model = fvt.create_model("faster_vit_0_224", **kw)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    paths = {}
+    for optimize in (True, False):
+        tm = fv.create_model("faster_vit_0_224", **kw)
+        p = str(tmp_path / f"fv_opt{optimize}.onnx")
+        export_onnx(model, variables, p, torch_model=tm, optimize=optimize)
+        paths[optimize] = p
+
+    folded = inspect_onnx(paths[True])
+    raw = inspect_onnx(paths[False])
+    # sanity on the wire reader itself
+    assert folded["inputs"] == ["input"]
+    assert folded["outputs"] == ["output"]
+    assert folded["opsets"].get("") == 17
+    assert folded["num_nodes"] > 10
+    assert folded["op_types"]["Conv"] >= 4
+    # folding postcondition (the Optimizer's observable effect)
+    assert folded["num_nodes"] <= raw["num_nodes"]
+    assert (folded["op_types"].get("Constant", 0)
+            <= raw["op_types"].get("Constant", 0))
+    check_constant_folded(paths[True],
+                          max_constant_nodes=folded["op_types"].get(
+                              "Constant", 0))
+
+
+def test_savedmodel_tf2onnx_leg(tiny, tmp_path):
+    """SavedModel -> tf2onnx conversion (the docs' interop pointer). The
+    image has no `tf2onnx`/`onnx` (no network egress; documented in
+    docs/CONVERT_VALIDATE.md), so this exercises the leg when available and
+    otherwise pins the documented limitation."""
+    tf2onnx = pytest.importorskip(
+        "tf2onnx", reason="tf2onnx not installed in this image (no network "
+        "egress) — SavedModel export itself is tested above; the conversion "
+        "command is documented in docs/CONVERT_VALIDATE.md")
+    model, variables = tiny
+    d = export_savedmodel(model, variables, str(tmp_path / "sm"),
+                          batch_size=2)
+    out = str(tmp_path / "sm.onnx")
+    tf2onnx.convert.from_saved_model(d, output_path=out)
+    from fastervit_tpu.utils.onnx_inspect import inspect_onnx
+    assert inspect_onnx(out)["num_nodes"] > 10
