@@ -16,21 +16,45 @@ run() {  # run <label> <cmd...> — sequential, never killed
 # 0. is the chip back?
 run probe python -c "import jax; print(jax.devices())" || exit 1
 
-# 1. headline bench (flagship)
+# 1. headline bench (flagship, median±spread over 5 windows)
 run bench python bench.py
 
-# 2. batch tuning for the sub-parity rows (fv5/fv6) + the 10.8%-MFU 768 row
+# 2. batch tuning for the sub-parity rows (fv5/fv6) + the low-MFU 21k tail
 run tune python scripts/bench_tune.py
 
-# 3. DINO component profile + fused auction step (resumable stages)
+# 3. int8 serving rows for the flop-bound variants + the fv1 gap row
+run int8 python scripts/bench_family.py --int8 --models fv1,fv5,fv6
+
+# 4. MSDA gather limit probe (VERDICT r2 #3)
+run msda python scripts/msda_gather_probe.py
+
+# 5. DINO component profile + fused auction step (resumable stages)
 run dino_prof python -u scripts/profile_downstream.py --which dino \
     --stages backbone,variants,grad,fused
 
-# 4. MOTR component profile
+# 6. MOTR component profile
 run motr_prof python -u scripts/profile_downstream.py --which motr \
     --stages backbone,variants
 
-# 5. MOTR streaming: lite-encoder + bf16 frame timing vs exact f32
+# 7. MOTR streaming: lite-encoder + bf16 frame timing vs exact f32
 run motr_speed python scripts/motr_speed_compare.py
+
+# 8. regenerate the MFU table from the SAME bench rows (artifact
+#    consistency — VERDICT r2 weak #2; runs on CPU, no chip needed)
+run roofline env JAX_PLATFORMS=cpu python scripts/roofline.py
+
+# 9. the north-star, auto-armed: if reference checkpoints / ImageNet ever
+#    appear in-env, produce the real accuracy number per
+#    docs/CONVERT_VALIDATE.md (Top-1 within 0.1% of README.md:134-277)
+CKPT=$(ls /root/checkpoints/fastervit_*.pth.tar 2>/dev/null | head -1 || true)
+IMNET=$(ls -d /root/data/imagenet/val /data/imagenet/val 2>/dev/null | head -1 || true)
+if [ -n "$CKPT" ] && [ -n "$IMNET" ]; then
+  run validate python -m fastervit_tpu.validate \
+      --model "$(basename "$CKPT" .pth.tar)" --checkpoint "$CKPT" \
+      --data-dir "$(dirname "$IMNET")" --batch-size 128 --dtype bfloat16
+else
+  echo "--- validate: skipped (no checkpoint/ImageNet in env; runbook" \
+       "docs/CONVERT_VALIDATE.md stands ready)"
+fi
 
 echo "=== done $(date) ==="

@@ -129,3 +129,28 @@ def test_query_chunking_matches_unchunked():
     b = ms_deform_attn(jnp.asarray(value), SHAPES, jnp.asarray(loc),
                        jnp.asarray(w), query_chunk=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_query_sharded_msda_matches_unsharded(cpu_devices):
+    """Query-axis GSPMD sharding for the encoder gather: value replicated,
+    sampling locations/weights (and hence the output) sharded over Q on an
+    8-device mesh. This is the TPU-native scaling lever for the MOTR
+    streaming encoder (S=102k tokens: the per-index-bound gather splits
+    linearly over chips — see MSDA_GATHER_PROBE.json / docs): each device
+    gathers its Q/8 slice with no communication beyond the input scatter."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fastervit_tpu.parallel.mesh import create_mesh, replicated
+
+    value, loc, w = _make(q=16, dtype=np.float32)
+    want = np.asarray(ms_deform_attn(jnp.asarray(value), SHAPES,
+                                     jnp.asarray(loc), jnp.asarray(w)))
+
+    mesh = create_mesh(cpu_devices)
+    repl = replicated(mesh)
+    qsh = NamedSharding(mesh, P(None, "data"))  # (N, Q, ...) -> shard Q
+    with mesh:
+        fn = jax.jit(
+            lambda v, l, ww: ms_deform_attn(v, SHAPES, l, ww),
+            in_shardings=(repl, qsh, qsh), out_shardings=qsh)
+        got = fn(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
