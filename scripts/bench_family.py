@@ -88,9 +88,10 @@ def main():
     args = ap.parse_args()
     if args.int8 and args.out == "BENCH_FAMILY.json":
         args.out = "BENCH_FAMILY_INT8.json"  # keep bf16 rows intact
-    sel = [m for m in FAMILY
-           if not args.models or any(s in m[0]
-                                     for s in args.models.split(","))]
+    # 'fvN' is shorthand for 'faster_vit_N' (so --models fv1,fv5 works)
+    pats = [s.replace("fv", "faster_vit_") if s.startswith("fv") else s
+            for s in args.models.split(",") if s]
+    sel = [m for m in FAMILY if not pats or any(s in m[0] for s in pats)]
     results = []
     for name, res, batch, base in sel:
         try:
