@@ -105,25 +105,35 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     out_ref[0, 0] = ctx.astype(out_ref.dtype)
 
 
-def _flash_forward(q, k, v, bias, scale, interpret):
+def _flash_forward(q, k, v, bias, scale, interpret, grid_order="hqb"):
     b, h, s, hd = q.shape
     tq = _pick_tq(s, hd, q.dtype.itemsize)
     kernel = functools.partial(_fwd_kernel, scale=scale)
+    if grid_order == "hqb":
+        # batch innermost: the (TQ, S) f32 bias tile — the largest streamed
+        # operand (f32 and S wide; e.g. 21k-768: S=2304) — has index
+        # (hi, qi), so it stays VMEM-resident across the whole batch sweep
+        # instead of re-streaming per image. K/V (bf16, hd=128) re-fetch per
+        # step, which costs half as much as re-streaming the bias did.
+        grid = (h, s // tq, b)
+        ix_q = lambda hi, qi, bi: (bi, hi, qi, 0)       # noqa: E731
+        ix_kv = lambda hi, qi, bi: (bi, hi, 0, 0)       # noqa: E731
+        ix_bias = lambda hi, qi, bi: (hi, qi, 0)        # noqa: E731
+    else:  # "bhq": q-tiles innermost, K/V resident per (b, h)
+        grid = (b, h, s // tq)
+        ix_q = lambda bi, hi, qi: (bi, hi, qi, 0)       # noqa: E731
+        ix_kv = lambda bi, hi, qi: (bi, hi, 0, 0)       # noqa: E731
+        ix_bias = lambda bi, hi, qi: (hi, qi, 0)        # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(b, h, s // tq),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq, hd), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, hd), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, hd), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, s), lambda bi, hi, qi: (hi, qi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, hd), ix_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hd), ix_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hd), ix_kv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, s), ix_bias, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, hd),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
+        out_specs=pl.BlockSpec((1, 1, tq, hd), ix_q,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s, hd), q.dtype),
         interpret=interpret,

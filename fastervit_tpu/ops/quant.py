@@ -115,16 +115,30 @@ def quantize_variables(variables, verbose: bool = False):
     return result
 
 
+def _act_scale(absx: jnp.ndarray, axis, clip_percentile: Optional[float]):
+    """Symmetric activation scale: max|x| by default, or a percentile of
+    |x| (e.g. 99.9) — the standard fallback for trained checkpoints whose
+    activations carry outlier channels, where a single extreme value
+    otherwise swallows the whole int8 range (quantization noise on every
+    other channel). Out-of-range values saturate at +/-127."""
+    if clip_percentile is None:
+        amax = jnp.max(absx, axis=axis, keepdims=axis is not None)
+        return jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.quantile(absx.astype(jnp.float32), clip_percentile / 100.0,
+                     axis=axis, keepdims=axis is not None)
+    return jnp.maximum(q, 1e-8) / 127.0
+
+
 def int8_dense(x: jnp.ndarray, kernel_q: jnp.ndarray,
                kernel_scale: jnp.ndarray,
-               bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+               bias: Optional[jnp.ndarray],
+               act_clip_percentile: Optional[float] = None) -> jnp.ndarray:
     """y = dequant(quant_token(x) @ kernel_q) + bias, MXU int32 accumulate.
 
     Per-token activation scales: x (..., K) -> scales (..., 1)."""
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xs = _act_scale(jnp.abs(xf), -1, act_clip_percentile)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, kernel_q,
@@ -138,12 +152,12 @@ def int8_dense(x: jnp.ndarray, kernel_q: jnp.ndarray,
 
 def int8_conv(x: jnp.ndarray, kernel_q: jnp.ndarray,
               kernel_scale: jnp.ndarray, bias: Optional[jnp.ndarray],
-              strides, padding, feature_group_count: int = 1) -> jnp.ndarray:
+              strides, padding, feature_group_count: int = 1,
+              act_clip_percentile: Optional[float] = None) -> jnp.ndarray:
     """NHWC conv with s8 operands, s32 accumulation, per-tensor act scale."""
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf))
-    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xs = _act_scale(jnp.abs(xf), None, act_clip_percentile)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, kernel_q, window_strides=tuple(strides), padding=padding,
@@ -177,48 +191,64 @@ def _is_default_dilation(d, nspatial: int) -> bool:
     return all(x == 1 for x in d)
 
 
-def quant_interceptor(next_fn, args, kwargs, context):
-    """flax intercept_methods hook: route Dense/Conv calls whose params
-    hold `kernel_q` to the int8 kernels; pass everything else through.
+def make_quant_interceptor(act_clip_percentile: Optional[float] = None):
+    """flax intercept_methods hook factory: route Dense/Conv calls whose
+    params hold `kernel_q` to the int8 kernels; pass everything else
+    through. act_clip_percentile (e.g. 99.9) switches activation scales
+    from max|x| to a percentile — the outlier-channel fallback.
 
     The int8 kernels implement the *default* Dense/Conv semantics only.
     A module carrying `kernel_q` but configured with dilation, masking, or
     a custom dot_general cannot silently fall through (its params no
     longer hold a full-precision `kernel`), so such configs raise — add
     the layer to SKIP_SEGMENTS before quantize_variables instead."""
-    mod = context.module
-    if (context.method_name == "__call__"
-            and isinstance(mod, (nn.Dense, nn.Conv))
-            and mod.has_variable("params", "kernel_q")):
-        p = mod.variables["params"]
-        bias = p.get("bias") if mod.use_bias else None
-        if isinstance(mod, nn.Dense):
-            if getattr(mod, "dot_general", None) is not None:
+
+    def quant_interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == "__call__"
+                and isinstance(mod, (nn.Dense, nn.Conv))
+                and mod.has_variable("params", "kernel_q")):
+            p = mod.variables["params"]
+            bias = p.get("bias") if mod.use_bias else None
+            if isinstance(mod, nn.Dense):
+                if getattr(mod, "dot_general", None) is not None:
+                    raise NotImplementedError(
+                        f"int8 path does not support custom dot_general on "
+                        f"quantized Dense {mod.path}; skip this layer at "
+                        f"quantize_variables time")
+                return int8_dense(args[0], p["kernel_q"], p["kernel_scale"],
+                                  bias, act_clip_percentile)
+            nsp = len(mod.kernel_size)
+            if (not _is_default_dilation(mod.kernel_dilation, nsp)
+                    or not _is_default_dilation(mod.input_dilation, nsp)
+                    or mod.mask is not None
+                    or getattr(mod, "conv_general_dilated", None) is not None):
                 raise NotImplementedError(
-                    f"int8 path does not support custom dot_general on "
-                    f"quantized Dense {mod.path}; skip this layer at "
-                    f"quantize_variables time")
-            return int8_dense(args[0], p["kernel_q"], p["kernel_scale"], bias)
-        nsp = len(mod.kernel_size)
-        if (not _is_default_dilation(mod.kernel_dilation, nsp)
-                or not _is_default_dilation(mod.input_dilation, nsp)
-                or mod.mask is not None
-                or getattr(mod, "conv_general_dilated", None) is not None):
-            raise NotImplementedError(
-                f"int8 path supports only default nn.Conv configs "
-                f"(no dilation/mask/custom conv op); quantized Conv "
-                f"{mod.path} has a non-default config — skip this layer "
-                f"at quantize_variables time")
-        strides = mod.strides if mod.strides is not None else 1
-        if isinstance(strides, int):
-            strides = (strides,) * len(mod.kernel_size)
-        padding = _normalize_conv_padding(mod.padding, mod.kernel_size)
-        return int8_conv(args[0], p["kernel_q"], p["kernel_scale"], bias,
-                         strides, padding, mod.feature_group_count)
-    return next_fn(*args, **kwargs)
+                    f"int8 path supports only default nn.Conv configs "
+                    f"(no dilation/mask/custom conv op); quantized Conv "
+                    f"{mod.path} has a non-default config — skip this layer "
+                    f"at quantize_variables time")
+            strides = mod.strides if mod.strides is not None else 1
+            if isinstance(strides, int):
+                strides = (strides,) * len(mod.kernel_size)
+            padding = _normalize_conv_padding(mod.padding, mod.kernel_size)
+            return int8_conv(args[0], p["kernel_q"], p["kernel_scale"], bias,
+                             strides, padding, mod.feature_group_count,
+                             act_clip_percentile)
+        return next_fn(*args, **kwargs)
+
+    return quant_interceptor
 
 
-def quantized_call(fn, *args, **kwargs):
+# default interceptor (max|x| activation scales), kept as a module-level
+# name for existing callers
+quant_interceptor = make_quant_interceptor()
+
+
+def quantized_call(fn, *args, act_clip_percentile: Optional[float] = None,
+                   **kwargs):
     """Run `fn` (typically module.apply) with int8 interception active."""
-    with nn.intercept_methods(quant_interceptor):
+    interceptor = (quant_interceptor if act_clip_percentile is None
+                   else make_quant_interceptor(act_clip_percentile))
+    with nn.intercept_methods(interceptor):
         return fn(*args, **kwargs)

@@ -127,3 +127,59 @@ def test_quantized_call_is_jittable(tiny_model):
     # flip one int8 bucket, so eager/jit agree loosely, not bitwise
     np.testing.assert_allclose(np.asarray(fn(vq, x)),
                                np.asarray(mq.apply(vq, x)), atol=5e-3)
+
+
+@pytest.mark.smoke
+def test_percentile_clip_beats_max_scale_on_outliers():
+    """Outlier-channel fallback (trained-checkpoint failure mode): one
+    activation channel ~100x the rest whose downstream weights are small
+    (the classic uninformative LayerNorm-amplified outlier). The max|x|
+    scale lets that channel swallow the int8 range, quantizing every
+    informative channel to a couple of levels; a 99th-percentile scale
+    saturates the outlier (losing little — its weights are tiny) and
+    preserves the bulk. The clipped path must be strictly more accurate."""
+    import jax
+    import jax.numpy as jnp
+    from fastervit_tpu.ops.quant import int8_dense, quantize_kernel
+
+    rs = np.random.RandomState(0)
+    k = 512
+    x = rs.randn(16, k).astype(np.float32)
+    x[:, 7] *= 100.0                      # one outlier channel
+    w = rs.randn(k, 64).astype(np.float32)
+    w[7, :] *= 0.01                       # ...that the layer barely reads
+    kq, ks = quantize_kernel(jnp.asarray(w))
+    want = x @ w
+
+    got_max = np.asarray(int8_dense(jnp.asarray(x), kq, ks, None))
+    got_clip = np.asarray(int8_dense(jnp.asarray(x), kq, ks, None,
+                                     act_clip_percentile=99.0))
+    err_max = np.abs(got_max - want).mean()
+    err_clip = np.abs(got_clip - want).mean()
+    assert err_clip < 0.5 * err_max, (err_clip, err_max)
+
+
+@pytest.mark.smoke
+def test_quantized_call_act_clip_plumbs_through():
+    """quantized_call(act_clip_percentile=...) reaches the interceptor and
+    still produces logits close to f32 on a tiny model."""
+    import jax
+    import jax.numpy as jnp
+    import fastervit_tpu as fvt
+    from fastervit_tpu.ops.quant import quantize_variables, quantized_call
+
+    m = fvt.create_model("faster_vit_0_224", depths=[1, 1, 1, 1],
+                         num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                         resolution=64, num_classes=10)
+    v = m.init(jax.random.PRNGKey(0))
+    mq = fvt.create_model("faster_vit_0_224", depths=[1, 1, 1, 1],
+                          num_heads=[1, 2, 4, 8], dim=32, in_dim=16,
+                          resolution=64, num_classes=10, quantized=True)
+    vq = quantize_variables(v)
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 64, 64, 3), jnp.float32)
+    y = np.asarray(m.apply(v, x))
+    yq = np.asarray(quantized_call(mq.module.apply, vq, x,
+                                   act_clip_percentile=99.9))
+    cos = float((y * yq).sum() /
+                (np.linalg.norm(y) * np.linalg.norm(yq) + 1e-12))
+    assert cos > 0.995, cos
