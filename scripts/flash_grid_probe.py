@@ -41,19 +41,22 @@ def bench(order, s, h, hd, b, iters=10):
 
     acc = jnp.zeros((), jnp.float32)
 
+    # k/v/bias must be jit ARGUMENTS, not closures: closed-over device
+    # arrays are serialized as HLO constants, and the 340 MB bias blows the
+    # relay's remote-compile request-size limit (HTTP 413).
     @jax.jit
-    def chained(acc, q):
+    def chained(acc, q, k, v, bias):
         out = _flash_forward(q, k, v, bias, hd ** -0.5, False,
                              grid_order=order)
         return acc + out[0, 0, 0, 0].astype(jnp.float32)
 
     t0 = time.time()
-    acc = chained(acc, q)
+    acc = chained(acc, q, k, v, bias)
     float(acc)
     compile_s = time.time() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        acc = chained(acc, q)
+        acc = chained(acc, q, k, v, bias)
     float(acc)
     return (time.perf_counter() - t0) / iters, compile_s
 
