@@ -233,6 +233,55 @@ def _msda_core_bwd(spatial_shapes, res, g):
 _msda_core.defvjp(_msda_core_fwd, _msda_core_bwd)
 
 
+# --- fused Pallas forward (ops/msda_pallas.py) -------------------------------
+# Same math, same custom-vjp backward (the backward re-gathers its own
+# patches, so it is forward-implementation agnostic).
+
+_BACKEND = "auto"           # 'auto' | 'xla' | 'pallas'
+_PALLAS_MIN_Q = 4096        # 'auto' uses pallas only at encoder scale
+
+
+def set_msda_backend(backend: str) -> str:
+    """Select the MSDA forward implementation globally. 'xla' is the
+    lax.gather path; 'pallas' the fused VMEM-resident kernel
+    (ops/msda_pallas.py); 'auto' picks pallas on TPU for encoder-scale
+    query counts. Returns the previous setting. Note: the pallas kernel is
+    a Mosaic custom call — under GSPMD sharding XLA cannot partition it,
+    so multi-chip sharded runs should keep 'xla' (or shard outside jit)."""
+    global _BACKEND
+    assert backend in ("auto", "xla", "pallas"), backend
+    prev, _BACKEND = _BACKEND, backend
+    return prev
+
+
+def _resolve_backend(q_total: int) -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    # 'auto' stays on the XLA gather path for now: the fused kernel's
+    # per-level pallas_calls each compile and hit the chip's ~15.6 ns/sample
+    # indexed-load floor (MSDA_PALLAS_PROBE.json), but the integrated
+    # multi-level program still fails remote Mosaic compile on-chip
+    # (tpu_compile_helper exit 1). Opt in with set_msda_backend('pallas').
+    del q_total
+    return "xla"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_core_pallas(spatial_shapes, value, sampling_locations,
+                      attention_weights):
+    from fastervit_tpu.ops.msda_pallas import msda_forward_pallas
+    return msda_forward_pallas(
+        spatial_shapes, value, sampling_locations, attention_weights,
+        interpret=jax.default_backend() != "tpu")
+
+
+def _msda_core_pallas_fwd(spatial_shapes, value, loc, w):
+    return _msda_core_pallas(spatial_shapes, value, loc, w), (value, loc, w)
+
+
+_msda_core_pallas.defvjp(_msda_core_pallas_fwd, _msda_core_bwd)
+
+
 def ms_deform_attn_autodiff(value, spatial_shapes, sampling_locations,
                             attention_weights):
     """Autodiff-through-scatter path (slow on TPU) — kept as the gradient
@@ -249,9 +298,14 @@ def ms_deform_attn(value: jnp.ndarray,
     """value: (N, S, M, D) with S = sum(H*W); spatial_shapes static;
     sampling_locations: (N, Q, M, L, P, 2) in [0, 1];
     attention_weights: (N, Q, M, L, P) (softmax-normalized over L*P).
-    Returns (N, Q, M*D)."""
+    Returns (N, Q, M*D). The forward implementation follows
+    set_msda_backend(); the fused pallas path chunks internally, so
+    query_chunk only shapes the xla path."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     q_total = sampling_locations.shape[1]
+    if _resolve_backend(q_total) == "pallas":
+        return _msda_core_pallas(shapes, value, sampling_locations,
+                                 attention_weights)
     if query_chunk and q_total > query_chunk:
         n = value.shape[0]
         pad = (-q_total) % query_chunk

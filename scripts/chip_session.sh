@@ -16,34 +16,25 @@ run() {  # run <label> <cmd...> — sequential, never killed
 # 0. is the chip back?
 run probe python -c "import jax; print(jax.devices())" || exit 1
 
-# 1. headline bench (flagship, median±spread over 5 windows)
-run bench python bench.py
+# 1. fused-Pallas MSDA: production backend parity + speed at encoder scale
+#    (ops/msda_pallas.py, VERDICT r2 #3)
+run msda_e2e python scripts/msda_pallas_probe.py --e2e-only
 
-# 2. batch tuning for the sub-parity rows (fv5/fv6) + the low-MFU 21k tail
-run tune python scripts/bench_tune.py
-
-# 3. int8 serving rows for the flop-bound variants + the fv1 gap row
-run int8 python scripts/bench_family.py --int8 --models fv1,fv5,fv6
-
-# 4. MSDA gather limit probe (VERDICT r2 #3)
-run msda python scripts/msda_gather_probe.py
-
-# 5. DINO component profile + fused auction step (resumable stages)
-run dino_prof python -u scripts/profile_downstream.py --which dino \
-    --stages backbone,variants,grad,fused
-
-# 6. MOTR component profile
-run motr_prof python -u scripts/profile_downstream.py --which motr \
-    --stages backbone,variants
-
-# 7. MOTR streaming: lite-encoder + bf16 frame timing vs exact f32
+# 2. MOTR streaming frame latency: exact/bf16/lite x xla/pallas backends
 run motr_speed python scripts/motr_speed_compare.py
 
-# 8. regenerate the MFU table from the SAME bench rows (artifact
+# 3. re-bench the 21k rows: BENCH_FAMILY predates the flash kernel's
+#    bias-resident hqb grid order (FLASH_GRID_PROBE: 1.16-1.32x)
+run bench_21k python scripts/bench_family.py --models 21k
+
+# 4. headline bench (flagship, median±spread over 5 windows)
+run bench python bench.py
+
+# 5. regenerate the MFU table from the SAME bench rows (artifact
 #    consistency — VERDICT r2 weak #2; runs on CPU, no chip needed)
 run roofline env JAX_PLATFORMS=cpu python scripts/roofline.py
 
-# 9. the north-star, auto-armed: if reference checkpoints / ImageNet ever
+# 6. the north-star, auto-armed: if reference checkpoints / ImageNet ever
 #    appear in-env, produce the real accuracy number per
 #    docs/CONVERT_VALIDATE.md (Top-1 within 0.1% of README.md:134-277)
 CKPT=$(ls /root/checkpoints/fastervit_*.pth.tar 2>/dev/null | head -1 || true)

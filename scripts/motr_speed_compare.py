@@ -33,19 +33,32 @@ def main():
     rp = jnp.asarray(rng.rand(1, nq, 4), jnp.float32)
     rows = {}
 
-    for key, kw in {
-        "frame_exact_f32": {},
-        "frame_bf16": {"dtype": jnp.bfloat16},
-        "frame_lite_encoder": {"lite_encoder": True},
-        "frame_lite_bf16": {"lite_encoder": True, "dtype": jnp.bfloat16},
+    from fastervit_tpu.ops.msda import set_msda_backend
+
+    for key, (backend, kw) in {
+        "frame_exact_f32": ("xla", {}),
+        "frame_exact_f32_pallas": ("pallas", {}),
+        "frame_bf16": ("xla", {"dtype": jnp.bfloat16}),
+        "frame_bf16_pallas": ("pallas", {"dtype": jnp.bfloat16}),
+        "frame_lite_encoder": ("xla", {"lite_encoder": True}),
+        "frame_lite_bf16": ("xla",
+                            {"lite_encoder": True, "dtype": jnp.bfloat16}),
+        "frame_lite_bf16_pallas": ("pallas",
+                                   {"lite_encoder": True,
+                                    "dtype": jnp.bfloat16}),
     }.items():
-        det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
-                                enc_layers=6, dec_layers=6, **kw)
-        v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
-        t, c = time_fn(lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
-                       (v, x, qp, rp), iters=6)
-        _emit(rows, key, t, out_path, section)
-        del det, v
+        set_msda_backend(backend)
+        try:
+            det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
+                                    enc_layers=6, dec_layers=6, **kw)
+            v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
+            t, c = time_fn(
+                lambda v, x, qp, rp, det=det: det.apply(v, x, qp, rp),
+                (v, x, qp, rp), iters=6)
+            _emit(rows, key, t, out_path, section)
+            del det, v
+        finally:
+            set_msda_backend("auto")
 
 
 if __name__ == "__main__":

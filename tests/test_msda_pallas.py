@@ -1,0 +1,128 @@
+"""Fused Pallas MSDA forward (ops/msda_pallas.py) vs the XLA path.
+
+Interpret-mode on CPU (the kernel's fori_loop runs in Python, so shapes
+stay tiny); the compiled-path parity and timing run on-chip via
+scripts/msda_pallas_probe.py / scripts/motr_speed_compare.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastervit_tpu.ops import msda
+from fastervit_tpu.ops.msda_pallas import (fused_bilinear_gather,
+                                           msda_forward_pallas)
+
+pytestmark = pytest.mark.smoke
+
+SHAPES = ((5, 7), (3, 4))
+N, M, D, P = 1, 2, 8, 2
+Q = 12
+S = sum(h * w for h, w in SHAPES)
+
+
+def _case(seed=0):
+    rs = np.random.RandomState(seed)
+    value = jnp.asarray(rs.randn(N, S, M, D), jnp.float32)
+    loc = jnp.asarray(rs.rand(N, Q, M, len(SHAPES), P, 2) * 1.3 - 0.15,
+                      jnp.float32)        # includes out-of-range samples
+    w = jax.nn.softmax(jnp.asarray(
+        rs.randn(N, Q, M, len(SHAPES) * P), jnp.float32), -1)
+    return value, loc, w.reshape(N, Q, M, len(SHAPES), P)
+
+
+def test_fused_gather_matches_manual():
+    rs = np.random.RandomState(1)
+    hp, wp, b, qp = 6, 9, 2, 16
+    vm = jnp.asarray(rs.randn(b, hp, wp, D), jnp.float32)
+    iy = jnp.asarray(rs.randint(0, hp - 1, (b, qp)), jnp.int32)
+    ix = jnp.asarray(rs.randint(0, wp - 1, (b, qp)), jnp.int32)
+    fy = jnp.asarray(rs.rand(b, qp), jnp.float32)
+    fx = jnp.asarray(rs.rand(b, qp), jnp.float32)
+    w = jnp.asarray(rs.rand(b, qp), jnp.float32)
+    got = fused_bilinear_gather(vm, iy, ix, fy, fx, w, P, interpret=True)
+
+    vmn, iyn, ixn = map(np.asarray, (vm, iy, ix))
+    fyn, fxn, wn = map(np.asarray, (fy, fx, w))
+    want = np.zeros((b, qp // P, D), np.float32)
+    for bb in range(b):
+        for s in range(qp):
+            y, x = iyn[bb, s], ixn[bb, s]
+            gy, gx = fyn[bb, s], fxn[bb, s]
+            patch = vmn[bb, y:y + 2, x:x + 2]
+            bil = ((1 - gy) * (1 - gx) * patch[0, 0]
+                   + (1 - gy) * gx * patch[0, 1]
+                   + gy * (1 - gx) * patch[1, 0] + gy * gx * patch[1, 1])
+            want[bb, s // P] += wn[bb, s] * bil
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_matches_xla_path():
+    value, loc, w = _case(2)
+    want = msda._msda_body(SHAPES, value, loc, w)
+    got = msda_forward_pallas(SHAPES, value, loc, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_match_xla_path():
+    value, loc, w = _case(3)
+
+    def loss_xla(v, l, wt):
+        out = msda._msda_core(SHAPES, v, l, wt)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    # same custom-vjp backward; parity holds if the forwards agree and the
+    # residuals (value, loc, w) are identical — assert via jax.grad anyway
+    prev = msda.set_msda_backend("xla")
+    try:
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(value, loc, w)
+    finally:
+        msda.set_msda_backend(prev)
+
+    def loss_pallas(v, l, wt):
+        from fastervit_tpu.ops.msda import _msda_core_pallas
+        out = _msda_core_pallas(SHAPES, v, l, wt)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_pl = jax.grad(loss_pallas, argnums=(0, 1, 2))(value, loc, w)
+    for a, b in zip(g_xla, g_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_backend_switch_and_auto_threshold():
+    value, loc, w = _case(4)
+    prev = msda.set_msda_backend("xla")
+    try:
+        out_xla = msda.ms_deform_attn(value, SHAPES, loc, w)
+        msda.set_msda_backend("pallas")
+        out_pl = msda.ms_deform_attn(value, SHAPES, loc, w)
+    finally:
+        msda.set_msda_backend(prev)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-6)
+    # auto on CPU resolves to xla at any scale
+    assert msda._resolve_backend(10 ** 6) == "xla"
+
+
+def test_padding_arbitrary_qp():
+    # qp not a multiple of 8*P exercises the internal whole-query padding
+    rs = np.random.RandomState(5)
+    hp, wp, b = 5, 6, 1
+    for q in (1, 3, 5):
+        qp = q * P
+        vm = jnp.asarray(rs.randn(b, hp, wp, D), jnp.float32)
+        iy = jnp.asarray(rs.randint(0, hp - 1, (b, qp)), jnp.int32)
+        ix = jnp.asarray(rs.randint(0, wp - 1, (b, qp)), jnp.int32)
+        fy = jnp.asarray(rs.rand(b, qp), jnp.float32)
+        fx = jnp.asarray(rs.rand(b, qp), jnp.float32)
+        w = jnp.asarray(rs.rand(b, qp), jnp.float32)
+        got = fused_bilinear_gather(vm, iy, ix, fy, fx, w, P,
+                                    interpret=True)
+        assert got.shape == (b, q, D)
+        full = fused_bilinear_gather(
+            vm, *(jnp.tile(t, (1, 8)) for t in (iy, ix, fy, fx, w)), P,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(full[:, :q]), rtol=1e-5)
