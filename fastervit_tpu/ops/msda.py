@@ -257,12 +257,14 @@ def set_msda_backend(backend: str) -> str:
 def _resolve_backend(q_total: int) -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    # 'auto' stays on the XLA gather path for now: the fused kernel's
-    # per-level pallas_calls each compile and hit the chip's ~15.6 ns/sample
-    # indexed-load floor (MSDA_PALLAS_PROBE.json), but the integrated
-    # multi-level program still fails remote Mosaic compile on-chip
-    # (tpu_compile_helper exit 1). Opt in with set_msda_backend('pallas').
-    del q_total
+    # Fused kernel wins at encoder scale (MSDA_PALLAS_PROBE.json e2e:
+    # 252 ms vs 320 ms XLA at S=102k, parity 5e-7); at decoder scale the
+    # few-query launch overhead isn't worth it. Multi-device processes stay
+    # on xla: GSPMD cannot partition the Mosaic custom call, so a sharded
+    # train step would replicate (or reject) the kernel.
+    if (jax.default_backend() == "tpu" and q_total >= _PALLAS_MIN_Q
+            and jax.device_count() == 1):
+        return "pallas"
     return "xla"
 
 

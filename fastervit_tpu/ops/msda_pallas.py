@@ -121,6 +121,12 @@ def fused_bilinear_gather(vm: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     qpp = qp + pad
     nchunk = qpp // chunk
     unroll = 8
+    # Mosaic lane-pads the map block's minor dim (D=32 -> 128), so the
+    # double-buffered VMEM cost is 4x the logical bytes — the default 16 MB
+    # scoped-vmem budget rejects the 2.5 MB (logical) encoder level-1 map.
+    # Size the kernel's budget from the physical block instead.
+    phys_map = hp * -(-wp // 8) * 8 * 128 * vm.dtype.itemsize
+    vmem_budget = min(2 * phys_map + 8 * 1024 * 1024, 100 * 1024 * 1024)
     tile = lambda t: t.reshape(b, nchunk, 8, chunk // 8)       # noqa: E731
     smem = lambda: pl.BlockSpec((1, 1, 8, chunk // 8),         # noqa: E731
                                 lambda h, c: (h, c, 0, 0),
@@ -134,6 +140,7 @@ def fused_bilinear_gather(vm: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
         out_specs=pl.BlockSpec((1, chunk // p, d), lambda h, c: (h, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, qpp // p, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(tile(iy), tile(ix), tile(fy), tile(fx), tile(w), vm)
     return out[:, : qp // p]
