@@ -9,8 +9,11 @@ crop_mode / interpolation from faster_vit.py:21-80). Accuracy is measured
   squash: resize to (size/crop_pct, size/crop_pct) ignoring aspect ratio,
           center-crop.
 
-Host-side (PIL, matching torchvision's PIL path bit-for-bit), then
-normalize to float32 CHW->HWC.
+Host-side via PIL. timm's eval transforms call torchvision's
+Resize/CenterCrop, which on PIL inputs delegate to these same PIL resize/
+crop calls — equality is by construction (same library, same arguments),
+not verified by a test: torchvision is not installed in this image, so no
+oracle comparison exists. Normalization to float32 CHW->HWC follows.
 """
 from __future__ import annotations
 

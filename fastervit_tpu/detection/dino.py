@@ -2,10 +2,11 @@
 postprocessing (reference downstream/object_detection/dino/models/dino/
 dino.py:38 DINO, :344 SetCriterion, :655 PostProcess — rebuilt functional).
 
-Round-1 scope: 4-scale detector with two-stage deformable transformer,
-focal-loss Hungarian criterion (class + L1 + GIoU, aux losses per decoder
-layer), and top-k postprocess. Contrastive denoising (CDN) training is the
-headline DINO trick still to come.
+4-scale detector with two-stage deformable transformer, focal-loss
+Hungarian criterion (class + L1 + GIoU, aux losses per decoder layer),
+top-k postprocess, and exact contrastive denoising (CDN) training
+(`prepare_cdn` / `cdn_loss` below, reference dn_components.py
+prepare_for_cdn/dn_post_process).
 """
 from __future__ import annotations
 

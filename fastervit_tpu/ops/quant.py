@@ -47,8 +47,10 @@ import jax.numpy as jnp
 # SKIP_SEGMENT_PREFIXES ("pos_emb" covers pos_embed / pos_emb_funct /
 # hat_pos_embed). Segment matching (not substring-of-joined-path) so a
 # future module merely *containing* "head" (e.g. "head_mixer") is not
-# silently excluded.
-SKIP_SEGMENTS = ("head",)
+# silently excluded. "ref_point_head" (detection decoder query-position
+# MLP, tiny and geometry-critical) is skipped explicitly; the boundary is
+# pinned by tests/test_quant.py::test_skip_list_module_boundaries.
+SKIP_SEGMENTS = ("head", "ref_point_head")
 SKIP_SEGMENT_PREFIXES = ("pos_emb", "hat_pos_embed")
 MIN_FAN_IN = 64
 

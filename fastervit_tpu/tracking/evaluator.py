@@ -145,36 +145,48 @@ class Evaluator:
             pool = multiprocessing.get_context("spawn").Pool(
                 cfg.num_parallel_cores)
         try:
+            # Materialize the sweep plan up front so non-MOT
+            # (dataset, tracker) tasks overlap across the WHOLE sweep
+            # (ADVICE r3: blocking pool.apply inside the tracker loop gave
+            # them zero parallelism despite USE_PARALLEL).
+            plan = []  # (name, ds, outdir, tracker)
             for name, ds in datasets:
                 outdir = self._dataset_output(name)
-                ds_trackers = trackers or list(ds.tracker_list)
                 results[name], messages[name] = {}, {}
-                for tracker in ds_trackers:
-                    t0 = time.perf_counter()
-                    try:
-                        if pool is not None and _uses_base_mot_evaluate(ds):
-                            res = self._eval_mot_parallel(
-                                ds, tracker, pool, outdir)
-                        elif pool is not None:
-                            res = pool.apply(_tracker_task,
-                                             [(ds, tracker, outdir)])[1]
-                        else:
-                            res = ds.evaluate(trackers=[tracker],
-                                              output_folder=outdir)[tracker]
-                        results[name][tracker] = res
-                        messages[name][tracker] = "Success"
-                    except Exception as e:  # noqa: BLE001 — per-tracker gate
-                        if cfg.break_on_error:
-                            raise
-                        results[name][tracker] = None
-                        messages[name][tracker] = (
-                            f"{type(e).__name__}: {e}")
-                        traceback.print_exc()
-                    if cfg.time_progress:
-                        print(f"[{name}] {tracker}: "
-                              f"{messages[name][tracker]} "
-                              f"({time.perf_counter() - t0:.2f}s)",
-                              flush=True)
+                for tracker in (trackers or list(ds.tracker_list)):
+                    plan.append((name, ds, outdir, tracker))
+            pending = {}
+            if pool is not None:
+                for name, ds, outdir, tracker in plan:
+                    if not _uses_base_mot_evaluate(ds):
+                        pending[(name, tracker)] = pool.apply_async(
+                            _tracker_task, [(ds, tracker, outdir)])
+            for name, ds, outdir, tracker in plan:
+                t0 = time.perf_counter()
+                try:
+                    if (name, tracker) in pending:
+                        res = pending[(name, tracker)].get()[1]
+                    elif pool is not None:
+                        res = self._eval_mot_parallel(
+                            ds, tracker, pool, outdir)
+                    else:
+                        res = ds.evaluate(trackers=[tracker],
+                                          output_folder=outdir)[tracker]
+                    results[name][tracker] = res
+                    messages[name][tracker] = "Success"
+                except Exception as e:  # noqa: BLE001 — per-tracker gate
+                    if cfg.break_on_error:
+                        raise
+                    results[name][tracker] = None
+                    messages[name][tracker] = f"{type(e).__name__}: {e}"
+                    traceback.print_exc()
+                if cfg.time_progress:
+                    print(f"[{name}] {tracker}: "
+                          f"{messages[name][tracker]} "
+                          f"({time.perf_counter() - t0:.2f}s)",
+                          flush=True)
+            for name, _ in datasets:
+                outdir = self._dataset_output(name)
                 if outdir:
                     with open(os.path.join(outdir, "summary.json"),
                               "w") as f:

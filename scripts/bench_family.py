@@ -75,7 +75,8 @@ def bench_one(name, res, batch, iters=20, int8=False, windows=6):
         float(s)
         rates.append(batch * iters / (time.perf_counter() - t0))
     kept = sorted(rates[1:])
-    return float(np.median(kept)), compile_s, float(kept[0]), float(kept[-1])
+    return (float(np.median(kept)), compile_s, float(kept[0]),
+            float(kept[-1]), len(kept))
 
 
 def main():
@@ -95,12 +96,12 @@ def main():
     results = []
     for name, res, batch, base in sel:
         try:
-            rate, compile_s, lo, hi = bench_one(name, res, batch, args.iters,
-                                                int8=args.int8)
+            rate, compile_s, lo, hi, kept_windows = bench_one(
+                name, res, batch, args.iters, int8=args.int8)
             row = {"model": name, "res": res, "batch": batch,
                    "img_s": round(rate, 1),
                    "spread_min": round(lo, 1), "spread_max": round(hi, 1),
-                   "windows": 5, "iters_per_window": args.iters,
+                   "windows": kept_windows, "iters_per_window": args.iters,
                    "dtype": "int8" if args.int8 else "bfloat16",
                    "a100_trt_img_s": base,
                    "vs_baseline": round(rate / base, 3) if base else None,

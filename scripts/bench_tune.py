@@ -27,7 +27,8 @@ def main():
     for name, res, batches, base in CANDIDATES:
         for b in batches:
             try:
-                rate, compile_s, lo, hi = bench_one(name, res, b, iters=10)
+                rate, compile_s, lo, hi, kept_windows = bench_one(
+                    name, res, b, iters=10)
             except Exception as e:
                 print(f"{name} b{b}: FAIL {type(e).__name__}: {e}"[:200],
                       flush=True)
@@ -40,7 +41,7 @@ def main():
                     "model": name, "res": res, "batch": b,
                     "img_s": round(rate, 1),
                     "spread_min": round(lo, 1), "spread_max": round(hi, 1),
-                    "windows": 5, "iters_per_window": 10,
+                    "windows": kept_windows, "iters_per_window": 10,
                     "dtype": "bfloat16",
                     "a100_trt_img_s": base,
                     "vs_baseline": round(rate / base, 3) if base else None,

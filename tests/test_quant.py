@@ -183,3 +183,26 @@ def test_quantized_call_act_clip_plumbs_through():
     cos = float((y * yq).sum() /
                 (np.linalg.norm(y) * np.linalg.norm(yq) + 1e-12))
     assert cos > 0.995, cos
+
+
+def test_skip_list_module_boundaries():
+    """Pin which named modules are / aren't quantization-eligible under the
+    segment rules (ADVICE r3: the substring->segment change silently moved
+    'ref_point_head'; it is now explicitly skipped)."""
+    from fastervit_tpu.ops.quant import _eligible
+
+    big = jnp.zeros((256, 256))  # passes MIN_FAN_IN
+    # skipped: classifier head, the detection query-position MLP, pos-emb MLPs
+    assert not _eligible(("head",), big)
+    assert not _eligible(("ref_point_head", "Dense_0"), big)
+    assert not _eligible(("levels_2", "blocks_0", "pos_embed", "Dense_0"), big)
+    assert not _eligible(("hat_pos_embed", "Dense_1"), big)
+    # eligible: attention/MLP/conv projections, incl. names merely
+    # *containing* 'head' as a substring of a larger segment
+    assert _eligible(("levels_2", "blocks_0", "attn", "qkv"), big)
+    assert _eligible(("head_mixer",), big)          # segment != 'head'
+    assert _eligible(("decoder", "cross_attn", "value_proj"), big)
+    # fan-in / depthwise gates
+    assert not _eligible(("attn", "qkv"), jnp.zeros((32, 256)))
+    assert not _eligible(("conv",), jnp.zeros((3, 3, 1, 64)))   # depthwise
+    assert _eligible(("conv",), jnp.zeros((3, 3, 64, 128)))
