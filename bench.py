@@ -12,6 +12,7 @@ deployment path), fp32 params.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -63,6 +64,22 @@ def main():
         rates.append(BATCH * ITERS / (time.perf_counter() - t0))
     kept = sorted(rates[1:])
     img_s = float(np.median(kept))
+
+    # round-over-round regression tracking (VERDICT r3 #4): compare against
+    # the newest committed BENCH_r0N.json so drift is visible in the
+    # artifact itself instead of requiring a manual diff across rounds
+    prev_value = prev_round = None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for name in sorted(n for n in os.listdir(repo)
+                       if n.startswith("BENCH_r") and n.endswith(".json")):
+        try:
+            with open(os.path.join(repo, name)) as f:
+                parsed = json.load(f).get("parsed", {})
+            if "value" in parsed:
+                prev_value, prev_round = parsed["value"], name
+        except Exception:
+            pass
+
     print(json.dumps({
         "metric": f"{MODEL} inference images/sec/chip (bf16, 224px, batch {BATCH})",
         "value": round(img_s, 1),
@@ -75,6 +92,9 @@ def main():
         "batch": BATCH,
         "dtype": "bfloat16",
         "method": "chained-scalar-fetch barrier; first window discarded",
+        "vs_prev_round": (round(img_s / prev_value, 3)
+                          if prev_value else None),
+        "prev_round_src": prev_round,
     }))
 
 
