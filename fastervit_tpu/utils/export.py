@@ -22,6 +22,14 @@ import jax.numpy as jnp
 
 
 def _forward_fn(model, variables):
+    # route through the registry wrapper so quantized models export their
+    # int8 serving forward (quantized_call interceptor), not the raw f32
+    # module.apply — the AOT artifact is how int8's 27x bf16 compile cost
+    # (BENCH_FAMILY_INT8.json) is paid once offline instead of per process
+    if getattr(model.module, "quantized", False):
+        from fastervit_tpu.ops.quant import quantized_call
+        return functools.partial(quantized_call, model.module.apply,
+                                 variables)
     return functools.partial(model.module.apply, variables)
 
 

@@ -135,3 +135,27 @@ def test_savedmodel_tf2onnx_leg(tiny, tmp_path):
     tf2onnx.convert.from_saved_model(d, output_path=out)
     from fastervit_tpu.utils.onnx_inspect import inspect_onnx
     assert inspect_onnx(out)["num_nodes"] > 10
+
+
+def test_stablehlo_export_of_quantized_model(tmp_path):
+    """Int8 serving deploys through the AOT artifact (the once-offline
+    answer to XLA's 27x int8 compile cost): the exported StableHLO of a
+    quantized model must carry the int8 forward, not the f32 one."""
+    from fastervit_tpu.ops.quant import quantize_variables, quantized_call
+
+    kw = dict(depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], dim=32,
+              in_dim=16, resolution=64, num_classes=10)
+    m = fvt.create_model("faster_vit_0_224", **kw)
+    v = m.init(jax.random.PRNGKey(0))
+    mq = fvt.create_model("faster_vit_0_224", quantized=True, **kw)
+    vq = quantize_variables(v)
+    blob, _ = export_stablehlo(mq, vq, batch_size=2)
+    fn = load_stablehlo(blob)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3),
+                    jnp.float32)
+    want = np.asarray(quantized_call(mq.module.apply, vq, x))
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and it is genuinely the int8 graph, not a f32 re-trace
+    f32 = np.asarray(m.apply(v, x))
+    assert np.abs(got - f32).max() > 1e-6
