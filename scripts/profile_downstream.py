@@ -144,18 +144,56 @@ def profile_dino(iters, out_path, stages):
                  rows["fwd_full"] + rows["host_hungarian"] + t)
 
     if "fused" in stages:
-        # the on-device-auction fused step (one forward, no host sync)
+        # the on-device-auction fused step (one forward, no host sync) —
+        # the headline detection number (VERDICT r3 #6), swept over batch
+        # (the reference trains b2/GPU, dino/engine.py:20-120; a TPU chip
+        # fits more)
         from fastervit_tpu.detection.engine import \
             make_fused_detection_train_step
         import optax
         tx = optax.adamw(1e-4)
         opt_state = tx.init(v["params"])
         fused = make_fused_detection_train_step(det, tx, num_layers)
-        t, c = time_fn(
-            lambda p, o, x, tgt: fused(p, v.get("batch_stats", {}), o, x,
-                                       tgt)[2],
-            (v["params"], opt_state, x, tgt), iters)
-        emit("fused_auction_step", t)
+        best = None
+        for n in (2, 4, 8):
+            xn = jnp.asarray(rng.randn(n, 640, 640, 3), jnp.float32)
+            tgt_n = jax.tree.map(
+                jnp.asarray,
+                pad_targets([targets[0]] * n, 20))
+            try:
+                t, c = time_fn(
+                    lambda p, o, x, tg: fused(p, v.get("batch_stats", {}),
+                                              o, x, tg)[2],
+                    (v["params"], opt_state, xn, tgt_n), iters)
+            except Exception as e:
+                print(f"  fused b{n}: FAIL {type(e).__name__}: {e}"[:200],
+                      flush=True)
+                continue
+            emit(f"fused_auction_step_b{n}" if n != 2
+                 else "fused_auction_step", t)
+            if best is None or (n / t) > (best[0] / best[1]):
+                best = (n, t)
+        if best:
+            n, t = best
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            fam_path = os.path.join(repo, "BENCH_FAMILY.json")
+            fam = []
+            if os.path.exists(fam_path):
+                fam = json.load(open(fam_path))
+            name = "dino_4scale_fv0_640_train_step"
+            fam = [r for r in fam if r.get("model") != name]
+            fam.append({"model": name, "res": 640, "batch": n,
+                        "img_s": round(n / t, 2),
+                        "a100_trt_img_s": None,
+                        "dtype": "float32",
+                        "method": "fused on-device-auction train step "
+                                  "(fwd+match+loss+grad+adamw, one jitted "
+                                  "program); chained-fetch timing",
+                        "iters_per_window": iters})
+            with open(fam_path, "w") as f:
+                json.dump(fam, f, indent=1)
+            print(f"  detection bench row: {n / t:.2f} img/s (b{n})",
+                  flush=True)
     return rows
 
 

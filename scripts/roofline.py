@@ -57,8 +57,10 @@ def main():
     rows = []
     print(f"{'model':24s} {'GF/img':>8s} {'ref':>7s} {'img/s':>8s} "
           f"{'TF/s':>7s} {'MFU%':>6s}")
+    import fastervit_tpu as fvt
     for name, b in bench.items():
-        if "img_s" not in b:
+        # skip non-classification rows (e.g. the detection train-step row)
+        if "img_s" not in b or not fvt.is_model(name):
             continue
         gf = model_flops(name, b["res"]) / 1e9
         tfs = gf * b["img_s"] / 1e3
