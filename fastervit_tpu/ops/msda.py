@@ -237,19 +237,22 @@ _msda_core.defvjp(_msda_core_fwd, _msda_core_bwd)
 # Same math, same custom-vjp backward (the backward re-gathers its own
 # patches, so it is forward-implementation agnostic).
 
-_BACKEND = "auto"           # 'auto' | 'xla' | 'pallas'
-_PALLAS_MIN_Q = 4096        # 'auto' uses pallas only at encoder scale
+_BACKEND = "auto"           # 'auto' | 'xla' | 'pallas' | 'rowmix'
+_PALLAS_MIN_Q = 4096        # 'auto' leaves xla below encoder scale
 
 
 def set_msda_backend(backend: str) -> str:
     """Select the MSDA forward implementation globally. 'xla' is the
     lax.gather path; 'pallas' the fused VMEM-resident kernel
-    (ops/msda_pallas.py); 'auto' picks pallas on TPU for encoder-scale
-    query counts. Returns the previous setting. Note: the pallas kernel is
-    a Mosaic custom call — under GSPMD sharding XLA cannot partition it,
-    so multi-chip sharded runs should keep 'xla' (or shard outside jit)."""
+    (ops/msda_pallas.py); 'rowmix' the gather-free one-hot-matmul path
+    (ops/msda_rowmix.py — samples become MXU matmuls; pure XLA, so unlike
+    pallas it shards under GSPMD). 'auto' picks pallas on single-chip TPU
+    for encoder-scale query counts. rowmix stays opt-in: at the level-0
+    probe geometry it measured 18.4 ns/sample vs the gather's 16.2 with a
+    ~10x compile cost (MSDA_STRIPS_PROBE.json). Returns the previous
+    setting."""
     global _BACKEND
-    assert backend in ("auto", "xla", "pallas"), backend
+    assert backend in ("auto", "xla", "pallas", "rowmix"), backend
     prev, _BACKEND = _BACKEND, backend
     return prev
 
@@ -261,7 +264,9 @@ def _resolve_backend(q_total: int) -> str:
     # 252 ms vs 320 ms XLA at S=102k, parity 5e-7); at decoder scale the
     # few-query launch overhead isn't worth it. Multi-device processes stay
     # on xla: GSPMD cannot partition the Mosaic custom call, so a sharded
-    # train step would replicate (or reject) the kernel.
+    # train step would replicate (or reject) the kernel. rowmix is opt-in
+    # only — probe-slower than the gather at level-0 geometry
+    # (MSDA_STRIPS_PROBE.json) pending an in-model win.
     if (jax.default_backend() == "tpu" and q_total >= _PALLAS_MIN_Q
             and jax.device_count() == 1):
         return "pallas"
@@ -281,7 +286,62 @@ def _msda_core_pallas_fwd(spatial_shapes, value, loc, w):
     return _msda_core_pallas(spatial_shapes, value, loc, w), (value, loc, w)
 
 
-_msda_core_pallas.defvjp(_msda_core_pallas_fwd, _msda_core_bwd)
+_BWD_QUERY_CHUNK = 4096
+
+
+def _msda_core_bwd_chunked(spatial_shapes, res, g):
+    """_msda_core_bwd scanned over query chunks. The pallas forward takes
+    the full query axis in one call (its kernel chunks internally), so its
+    backward would otherwise materialize full-Q (N, Q, M, P, 2, 2, D)
+    patch temporaries — ~1.7 GB logical per level at encoder streaming
+    Q = 102k (ADVICE r3). Chunking here bounds the backward exactly like
+    the lax.map the XLA path gets in ms_deform_attn, with dvalue
+    accumulated across chunks."""
+    value, loc, w = res
+    q = loc.shape[1]
+    chunk = _BWD_QUERY_CHUNK
+    if q <= chunk:
+        return _msda_core_bwd(spatial_shapes, res, g)
+    n = value.shape[0]
+    pad = (-q) % chunk
+    locp = jnp.pad(loc, ((0, 0), (0, pad)) + ((0, 0),) * 4)
+    wp = jnp.pad(w, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    k = (q + pad) // chunk
+
+    def split(t):
+        return t.reshape((n, k, chunk) + t.shape[2:]).swapaxes(0, 1)
+
+    cdt = _compute_dtype(value.dtype)
+
+    def body(carry, args):
+        lc, wc, gc = args
+        dv, dl, dw = _msda_core_bwd(spatial_shapes, (value, lc, wc), gc)
+        return carry + dv.astype(cdt), (dl, dw)
+
+    dvalue, (dl, dw) = lax.scan(
+        body, jnp.zeros(value.shape, cdt), (split(locp), split(wp), split(gp)))
+    dl = dl.swapaxes(0, 1).reshape((n, q + pad) + loc.shape[2:])[:, :q]
+    dw = dw.swapaxes(0, 1).reshape((n, q + pad) + w.shape[2:])[:, :q]
+    return dvalue.astype(value.dtype), dl, dw
+
+
+_msda_core_pallas.defvjp(_msda_core_pallas_fwd, _msda_core_bwd_chunked)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_core_rowmix(spatial_shapes, value, sampling_locations,
+                      attention_weights):
+    from fastervit_tpu.ops.msda_rowmix import msda_forward_rowmix
+    return msda_forward_rowmix(spatial_shapes, value, sampling_locations,
+                               attention_weights)
+
+
+def _msda_core_rowmix_fwd(spatial_shapes, value, loc, w):
+    return _msda_core_rowmix(spatial_shapes, value, loc, w), (value, loc, w)
+
+
+_msda_core_rowmix.defvjp(_msda_core_rowmix_fwd, _msda_core_bwd_chunked)
 
 
 def ms_deform_attn_autodiff(value, spatial_shapes, sampling_locations,
@@ -305,8 +365,12 @@ def ms_deform_attn(value: jnp.ndarray,
     query_chunk only shapes the xla path."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     q_total = sampling_locations.shape[1]
-    if _resolve_backend(q_total) == "pallas":
+    backend = _resolve_backend(q_total)
+    if backend == "pallas":
         return _msda_core_pallas(shapes, value, sampling_locations,
+                                 attention_weights)
+    if backend == "rowmix":
+        return _msda_core_rowmix(shapes, value, sampling_locations,
                                  attention_weights)
     if query_chunk and q_total > query_chunk:
         n = value.shape[0]

@@ -11,12 +11,13 @@ and emits the already-reduced per-query output:
 Measured on v5e (scripts/msda_pallas_probe.py, MSDA_PALLAS_PROBE.json):
 the per-patch cost is ~15.3 ns — the same per-issue floor XLA's gather
 emitter hits (15.5 ns) — but the fused kernel also absorbs the ~88 ms per
-encoder layer of elementwise passes, and the per-head single-buffer
-variant fixes level 0, where XLA pays serialized HBM latency on the 80 MB
-map (22.9 ns/patch). Both a hand Pallas loop and XLA's emitter floor at
-~14 cycles/patch: TPU has no per-sublane addressing, so each sample costs
-a dynamic-sublane vector load pair regardless of formulation — that is
-the chip's indexed-load limit (VERDICT r2 #3).
+encoder layer of elementwise passes. Both a hand Pallas loop and XLA's
+emitter floor at ~14 cycles/patch: TPU has no per-sublane addressing, so
+each sample costs a dynamic-sublane vector load regardless of formulation
+— that is the chip's indexed-load limit (VERDICT r2 #3). The only
+formulation that avoids loads entirely is ops/msda_rowmix.py (one-hot
+MXU matmuls, opt-in); at level-0 geometry it measured 18.4 ns/sample vs
+the gather's 16.2 (MSDA_STRIPS_PROBE.json) — the floor stands.
 
 Reference semantics: ms_deform_attn_core_pytorch (downstream
 object_detection/dino/models/dino/ops/functions/ms_deform_attn_func.py:
@@ -84,13 +85,20 @@ def _p_kernel(iy_ref, ix_ref, fy_ref, fx_ref, w_ref, vm_ref, out_ref, *,
 
 
 # NOTE on big maps (encoder level 0, 10 MB/head at 1536x800): a
-# double-buffered blocked map overflows the ~16 MB VMEM, and a manual
-# HBM->scratch DMA cannot be expressed either — pallas exposes HBM
-# operands at their PHYSICAL padded shape (D=32 lanes pad to the 128
-# tile), so the .at[h] logical slice is tile-misaligned and Mosaic
-# rejects it ("Slice shape along dimension 3 must be aligned to tiling
-# (128), but is 32"). msda_forward_pallas therefore falls back to the
-# XLA gather path for levels whose map exceeds _MAP_DOUBLE_BUFFER_LIMIT.
+# double-buffered blocked map overflows VMEM, and a manual HBM->scratch
+# DMA cannot be expressed either — pallas exposes HBM operands at their
+# PHYSICAL padded shape (D=32 lanes pad to the 128 tile), so the .at[h]
+# logical slice is tile-misaligned and Mosaic rejects it ("Slice shape
+# along dimension 3 must be aligned to tiling (128), but is 32").
+# Three strip-tiled kernels (manual DMA of corner-packed tile-aligned
+# row strips, scalar-prefetch-routed visits, two-strip windows) were
+# built and measured in round 4 — ALL slower than the XLA gather at
+# level-0 scale (34-52 ns/sample vs 16.2, MSDA_STRIPS_PROBE.json): every
+# per-sample indexed-load formulation floors at the chip's
+# dynamic-sublane access cost. Oversized maps here therefore fall back to
+# the (query-chunked) XLA gather. ops/msda_rowmix.py reformulates the
+# gather as one-hot MXU matmuls (no loads at all) but also probes slower
+# at this geometry — the floor appears to be real.
 
 
 def fused_bilinear_gather(vm: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
@@ -101,9 +109,8 @@ def fused_bilinear_gather(vm: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     Returns (B, QP/p, D) f32: the weighted bilinear reduction per query.
 
     QP is padded internally to a _CHUNK multiple (pad samples index (0, 0)
-    with weight 0). The map rides in blocked (double-buffered) VMEM while
-    two copies fit; above _MAP_DOUBLE_BUFFER_LIMIT it stays in HBM and is
-    DMA'd once per head into a single VMEM scratch."""
+    with weight 0). The map rides in blocked (double-buffered) VMEM; maps
+    above _MAP_DOUBLE_BUFFER_LIMIT can't (see the NOTE above)."""
     b, hp, wp, d = vm.shape
     qp = iy.shape[1]
     assert qp % p == 0, (qp, p)
@@ -168,18 +175,40 @@ def msda_forward_pallas(spatial_shapes: Sequence[Tuple[int, int]],
         fx, fy, valid, iy, ix = _m._level_geometry(ll, h, w)
         wl = attention_weights[:, :, :, lvl].astype(jnp.float32)
         map_bytes = (h + 2) * (w + 2) * d * vm.dtype.itemsize
-        if map_bytes > _MAP_DOUBLE_BUFFER_LIMIT and not interpret:
-            # map too big for a double-buffered VMEM block (see the NOTE
-            # above _sample_loop's callers): XLA gather path per level
-            patches = _m._level_patches(vm, iy, ix, n, q, m, p, d)
-            interp = _m._bilinear(patches, fx, fy, valid)
-            lvl_out = jnp.sum(interp * wl[..., None], axis=3)  # (N,Q,M,D)
+        w_eff = wl * valid[..., 0]                      # (N, Q, M, P)
+        flat = lambda t: _m._flat_qp(t, n, m)           # noqa: E731
+        if map_bytes <= _MAP_DOUBLE_BUFFER_LIMIT:
+            gather = fused_bilinear_gather
+        else:
+            # oversized map (encoder level 0): XLA gather path,
+            # query-chunked so full-Q patch temporaries never materialize
+            # (ADVICE r3). See the NOTE above for why no VMEM-resident
+            # variant exists; ops/msda_rowmix.py is the fast path for
+            # these shapes and is what 'auto' actually dispatches to.
+            ck = 4096
+            padq = (-q) % ck
+            k = (q + padq) // ck
+
+            def split(t):
+                t = jnp.pad(t, ((0, 0), (0, padq)) + ((0, 0),) * (t.ndim - 2))
+                return jnp.moveaxis(
+                    t.reshape((n, k, ck) + t.shape[2:]), 1, 0)
+
+            def xla_chunk(args):
+                iy_c, ix_c, fy_c, fx_c, valid_c, wl_c = args
+                patches = _m._level_patches(vm, iy_c, ix_c, n, ck, m, p, d)
+                interp = _m._bilinear(patches, fx_c, fy_c, valid_c)
+                return jnp.sum(interp * wl_c[..., None], axis=3)
+
+            lvl_out = jax.lax.map(
+                xla_chunk, tuple(split(t) for t in (iy, ix, fy, fx, valid,
+                                                    wl)))
+            lvl_out = jnp.moveaxis(lvl_out, 0, 1).reshape(
+                n, q + padq, m, d)[:, :q]
             acc = acc + lvl_out.transpose(0, 2, 1, 3).reshape(
                 n * m, q, d).astype(jnp.float32)
             continue
-        w_eff = wl * valid[..., 0]                      # (N, Q, M, P)
-        flat = lambda t: _m._flat_qp(t, n, m)           # noqa: E731
-        acc = acc + fused_bilinear_gather(
+        acc = acc + gather(
             vm, flat(iy), flat(ix),
             flat(fy[..., 0]).astype(jnp.float32),
             flat(fx[..., 0]).astype(jnp.float32),

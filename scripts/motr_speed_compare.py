@@ -35,18 +35,28 @@ def main():
 
     from fastervit_tpu.ops.msda import set_msda_backend
 
-    for key, (backend, kw) in {
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="")
+    args = ap.parse_args()
+    table = {
         "frame_exact_f32": ("xla", {}),
         "frame_exact_f32_pallas": ("pallas", {}),
+        "frame_exact_f32_rowmix": ("rowmix", {}),
         "frame_bf16": ("xla", {"dtype": jnp.bfloat16}),
         "frame_bf16_pallas": ("pallas", {"dtype": jnp.bfloat16}),
+        "frame_bf16_rowmix": ("rowmix", {"dtype": jnp.bfloat16}),
         "frame_lite_encoder": ("xla", {"lite_encoder": True}),
         "frame_lite_bf16": ("xla",
                             {"lite_encoder": True, "dtype": jnp.bfloat16}),
         "frame_lite_bf16_pallas": ("pallas",
                                    {"lite_encoder": True,
                                     "dtype": jnp.bfloat16}),
-    }.items():
+    }
+    sel = [v for v in args.variants.split(",") if v]
+    for key, (backend, kw) in table.items():
+        if sel and key not in sel:
+            continue
         set_msda_backend(backend)
         try:
             det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,

@@ -102,8 +102,10 @@ def test_backend_switch_and_auto_threshold():
         msda.set_msda_backend(prev)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                rtol=1e-5, atol=1e-6)
-    # auto on CPU resolves to xla at any scale
+    # auto on CPU resolves to xla at any scale (pallas needs a single
+    # TPU chip; rowmix is opt-in only)
     assert msda._resolve_backend(10 ** 6) == "xla"
+    assert msda._resolve_backend(300) == "xla"
 
 
 def test_padding_arbitrary_qp():
@@ -126,3 +128,57 @@ def test_padding_arbitrary_qp():
             interpret=True)
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(full[:, :q]), rtol=1e-5)
+
+
+def _ref_gather(vm, iy, ix, fy, fx, w, p):
+    vmn, iyn, ixn = map(np.asarray, (vm, iy, ix))
+    fyn, fxn, wn = map(np.asarray, (fy, fx, w))
+    b, qp = iyn.shape
+    d = vmn.shape[-1]
+    want = np.zeros((b, qp // p, d), np.float32)
+    for bb in range(b):
+        for s in range(qp):
+            y, x = iyn[bb, s], ixn[bb, s]
+            gy, gx = fyn[bb, s], fxn[bb, s]
+            patch = vmn[bb, y:y + 2, x:x + 2]
+            bil = ((1 - gy) * (1 - gx) * patch[0, 0]
+                   + (1 - gy) * gx * patch[0, 1]
+                   + gy * (1 - gx) * patch[1, 0] + gy * gx * patch[1, 1])
+            want[bb, s // p] += wn[bb, s] * bil
+    return want
+
+
+def test_pallas_chunked_backward_matches_unchunked():
+    """_msda_core_bwd_chunked (the pallas-path backward) == _msda_core_bwd
+    when Q exceeds the chunk size (dvalue accumulated across chunks)."""
+    from fastervit_tpu.ops.msda import (_msda_core_bwd,
+                                        _msda_core_bwd_chunked)
+    import fastervit_tpu.ops.msda as m
+    rs = np.random.RandomState(10)
+    q_big = 10                          # > temp chunk of 4
+    value = jnp.asarray(rs.randn(N, S, M, D), jnp.float32)
+    loc = jnp.asarray(rs.rand(N, q_big, M, len(SHAPES), P, 2), jnp.float32)
+    w = jnp.asarray(rs.rand(N, q_big, M, len(SHAPES), P), jnp.float32)
+    g = jnp.asarray(rs.randn(N, q_big, M * D), jnp.float32)
+    want = _msda_core_bwd(SHAPES, (value, loc, w), g)
+    prev = m._BWD_QUERY_CHUNK
+    m._BWD_QUERY_CHUNK = 4
+    try:
+        got = _msda_core_bwd_chunked(SHAPES, (value, loc, w), g)
+    finally:
+        m._BWD_QUERY_CHUNK = prev
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_oversized_map_chunked_xla_fallback(monkeypatch):
+    """Oversized maps on the pallas backend take the query-chunked XLA
+    gather (full-Q patch temporaries never materialize, ADVICE r3)."""
+    import fastervit_tpu.ops.msda_pallas as mp
+    value, loc, w = _case(11)
+    want = msda._msda_body(SHAPES, value, loc, w)
+    monkeypatch.setattr(mp, "_MAP_DOUBLE_BUFFER_LIMIT", 1)
+    got = msda_forward_pallas(SHAPES, value, loc, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
