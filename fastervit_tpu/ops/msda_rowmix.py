@@ -8,7 +8,7 @@ dynamic-sublane access regardless of formulation. At MOTR streaming scale
 (6 encoder layers x 4 levels x 3.26M samples) that floor alone is
 ~1.27 s/frame.
 
-This module breaks the floor by not indexing at all. Samples are
+This module avoids the floor by not indexing at all. Samples are
 processed in chunks of C consecutive (query, point)s; the encoder's
 queries are raster-ordered, so a chunk's rows live in a narrow band
 [r0, r0+R). The chunk then computes
@@ -17,9 +17,19 @@ queries are raster-ordered, so a chunk's rows live in a narrow band
 
 where Ax (C, Wp) and Ay (C, R) are bilinear-weighted one-hot matrices
 built by vectorized iota comparison — the 'gather' becomes an MXU matmul
-at ~C*Wp*R*D FLOPs per chunk, FLOP-bound at the f32 matmul ceiling
-(MSDA_STRIPS_PROBE.json xla_rowmix: 43 TF/s achieved). Unlike indexed
-loads, the cost scales DOWN with level size (Wp) and window height (R).
+at ~C*Wp*R*D FLOPs per chunk.
+
+MEASURED OUTCOME (round 4, v5e): the trade does not pay at MOTR scale.
+Per-sample cost is 2*Wp*R*D FLOPs — at the encoder's level-0 width
+(Wp=388) that is ~400 kFLOP/sample at exact (HIGHEST) precision, far
+above the 16 ns load it replaces: in-model MOTR exact streaming is
+2.89 s/frame on rowmix vs 1.61 on the pallas gather kernel
+(PROFILE_DOWNSTREAM.json). rowmix only wins on narrow maps (Wp <~ 64,
+38.8 vs 46.6 ms at a 4-level Q=5440 probe) — but those already ride the
+VMEM-resident pallas kernel. Kept as an opt-in backend: it is the one
+GSPMD-shardable encoder-scale formulation, and the measurement pins the
+indexed-load floor (~16 ns/sample, MSDA_GATHER_PROBE.json) as the real
+chip limit for exact MSDA (VERDICT r3 #2).
 
 Exactness does not depend on raster order: samples whose rows fall
 outside their chunk's window keep weight 0 in the fast path and are
