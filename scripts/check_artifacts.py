@@ -67,15 +67,25 @@ def check_profile_cls(repo, errors):
     fam_by_model = {r["model"]: r for r in fam if "img_s" in r}
     for p in profiles:
         b = fam_by_model.get(p["model"])
-        if b is None or "img_s_from_sum" not in p:
-            continue
-        ratio = p["img_s_from_sum"] / b["img_s"]
-        if not (1 - RECON_TOL <= ratio <= 1 + RECON_TOL):
-            errors.append(
-                f"PROFILE_CLS {p['model']}: stage-sum implies "
-                f"{p['img_s_from_sum']} img/s but BENCH_FAMILY measures "
-                f"{b['img_s']} ({ratio:.3f}x — profile method does not "
-                f"reconcile with end-to-end; tolerance ±{RECON_TOL:.0%})")
+        # current schema: standalone stages + a full-model row measured with
+        # the same protocol; both reconciliations re-checked here
+        img_s = p.get("img_s_full", p.get("img_s_from_sum"))
+        if b is not None and img_s is not None:
+            ratio = img_s / b["img_s"]
+            if not (1 - RECON_TOL <= ratio <= 1 + RECON_TOL):
+                errors.append(
+                    f"PROFILE_CLS {p['model']}: profile implies "
+                    f"{img_s} img/s but BENCH_FAMILY measures "
+                    f"{b['img_s']} ({ratio:.3f}x — profile method does not "
+                    f"reconcile with end-to-end; tolerance ±{RECON_TOL:.0%})")
+        if "sum_stages_ms" in p and "full_ms" in p:
+            ratio = p["sum_stages_ms"] / p["full_ms"]
+            if not (1 - RECON_TOL <= ratio <= 1 + RECON_TOL):
+                errors.append(
+                    f"PROFILE_CLS {p['model']}: stage sum "
+                    f"{p['sum_stages_ms']} ms vs full forward "
+                    f"{p['full_ms']} ms ({ratio:.3f}x outside "
+                    f"±{RECON_TOL:.0%})")
 
 
 def check_headline_vs_family(repo, errors):

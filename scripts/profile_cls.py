@@ -1,20 +1,29 @@
-"""Per-stage latency breakdown for a classification variant on one TPU chip
-— prefix-ablation method.
+"""Per-stage latency breakdown for a classification variant on one TPU chip.
 
-Round 3's version timed each stage as a standalone jit and summed them;
-through the axon relay that is wildly misleading (per-program dispatch and
-first-executable penalties dominate small stages), and the committed
-artifact contradicted BENCH_FAMILY by ~180x (VERDICT r3 weak #1). This
-version times jitted PREFIXES of the model (patch_embed .. level_k) with
-the bench protocol (chained scalar fetch, median window, first window
-discarded); stage cost = difference of consecutive prefix times, so the
-stage column telescopes EXACTLY to the measured full forward. Before
-writing PROFILE_CLS.json the script asserts the resulting throughput
-reconciles with the model's BENCH_FAMILY row (same batch) within ±25% —
-an inconsistent artifact refuses to exist. scripts/check_artifacts.py
-re-checks the committed files.
+Method history (both prior attempts produced self-contradicting artifacts):
+- r3 timed standalone stages but fetched each stage's full output through
+  the relay per call, so host-transfer time swamped compute (~180x off,
+  VERDICT r3 weak #1).
+- r4's first fix timed jitted PREFIXES (patch_embed..level_k) with a scalar
+  carry so stage costs telescope; measured on-chip, XLA compiles the prefix
+  compositions pathologically (prefix through level_1 timed 1245 ms vs
+  446 ms for the FULL model — and with a single-element carry the conv
+  emitter SIGABRTs outright), so prefix ablation is unusable on this
+  backend.
 
-Per-stage FLOPs come from XLA cost-analysis diffs of the same prefixes.
+This version times each stage STANDALONE on its true input shape with the
+bench protocol (chained scalar mean-carry — no per-call output transfer —
+median window, first window discarded). Verified on-chip that this gives
+sane numbers (level_1 standalone 32.8 ms at b16/768 vs the full model's
+446 ms). Cross-stage fusion effects are small for this architecture (stage
+boundaries materialize large activations either way), which the script
+PROVES per run: before writing PROFILE_CLS.json it measures the full model
+with the same protocol and asserts (a) sum(stages) reconciles with the full
+forward within --recon-tol and (b) the full forward reconciles with the
+model's BENCH_FAMILY row. An inconsistent artifact refuses to exist;
+scripts/check_artifacts.py re-checks the committed files.
+
+Per-stage FLOPs come from XLA cost analysis of the same jitted stage.
 
 Usage:
     python scripts/profile_cls.py [--model faster_vit_4_21k_768] [--batch N]
@@ -57,7 +66,7 @@ def bench_chain(fn, args, iters, windows=4):
     return float(np.median(kept)), compile_s
 
 
-def prefix_flops(fn, *args):
+def stage_flops(fn, *args):
     try:
         a = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(a, list):
@@ -73,7 +82,7 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="0 = take the model's BENCH_FAMILY row batch")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--attn-impl", default="auto")
     ap.add_argument("--recon-tol", type=float, default=0.25)
     args = ap.parse_args()
@@ -112,112 +121,98 @@ def main():
             lvl = _build_levels(cfg, dtype, self.impl)[self.i]
             return lvl(x, training=False)
 
-    # per-stage params initialized on CPU at eval_shape-chained inputs
+    # per-stage modules + params (init jitted on-device: the pallas paths
+    # can't lower on CPU), inputs chained via eval_shape
     n_stage = 1 + cfg.num_levels
     mods = [Wrap(i, impl=args.attn_impl) for i in range(-1, cfg.num_levels)]
-    cpu = jax.local_devices(backend="cpu")[0]
     shapes, variables = [], []
     shp = (batch, res, res, 3)
-    for i, mod in enumerate(mods):
+    for mod in mods:
         shapes.append(shp)
-        with jax.default_device(cpu):
-            v = Wrap(mod.i, impl="xla").init(
-                key, jnp.zeros((1,) + shp[1:], dtype))
-        variables.append(jax.device_put(v))
+        v = jax.jit(mod.init)(key, jnp.zeros((1,) + shp[1:], dtype))
+        variables.append(v)
         shp = (batch,) + jax.eval_shape(
-            lambda vv, xx: Wrap(mod.i, impl="xla").apply(vv, xx),
-            v, jax.ShapeDtypeStruct((1,) + shp[1:], dtype)).shape[1:]
+            mod.apply, v, jax.ShapeDtypeStruct((1,) + shp[1:], dtype)
+        ).shape[1:]
 
-    x = jnp.asarray(np.random.RandomState(0).randn(*shapes[0]), dtype)
-
-    def make_prefix(k):
-        def fn(s, vs, xx):
-            y = xx
-            for mod, v in zip(mods[:k + 1], vs[:k + 1]):
-                y = mod.apply(v, y)
-            return s + y.reshape(-1)[0].astype(jnp.float32)
-        return fn
+    rs = np.random.RandomState(0)
+    inputs = [jnp.asarray(rs.randn(*s), dtype) for s in shapes]
 
     stage_names = ["patch_embed"] + [f"level_{i}"
                                      for i in range(cfg.num_levels)]
-    prefix_t, prefix_c, prefix_f = [], [], []
+    stage_t, stage_c, stage_f = [], [], []
     for k in range(n_stage):
-        t, c = bench_chain(make_prefix(k), (variables, x), args.iters)
-        prefix_t.append(t)
-        prefix_c.append(c)
-        print(f"prefix..{stage_names[k]:12s} {t * 1e3:9.2f} ms "
-              f"(compile {c:.1f}s)", flush=True)
+        mod, v, x = mods[k], variables[k], inputs[k]
 
-    # FLOPs per prefix via cost analysis of the same composition
-    def prefix_body(k):
-        def fn(vs, xx):
-            y = xx
-            for mod, v in zip(mods[:k + 1], vs[:k + 1]):
-                y = mod.apply(v, y)
-            return y
-        return fn
-    for k in range(n_stage):
-        prefix_f.append(prefix_flops(prefix_body(k), variables, x))
+        def fn(s, v, x, mod=mod):
+            return s + mod.apply(v, x).astype(jnp.float32).mean()
+
+        t, c = bench_chain(fn, (v, x), args.iters)
+        f = stage_flops(lambda v, x, mod=mod: mod.apply(v, x), v, x)
+        stage_t.append(t)
+        stage_c.append(c)
+        stage_f.append(f)
+        print(f"{stage_names[k]:12s} {t * 1e3:9.2f} ms "
+              f"{f / 1e9:9.1f} GF {f / t / 1e12:6.1f} TF/s "
+              f"(compile {c:.1f}s)", flush=True)
 
     # full model (norm + pool + head included) with the same protocol
     model = fvt.create_model(args.model, dtype=dtype,
                              attn_impl=args.attn_impl)
-    with jax.default_device(cpu):
-        vfull = model.module.init(jax.random.PRNGKey(0),
-                                  jnp.zeros((1, res, res, 3), dtype))
-    vfull = jax.device_put(vfull)
+    vfull = jax.jit(model.module.init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, res, res, 3), dtype))
 
     def full_fn(s, v, xx):
         out = model.module.apply(v, xx)
-        return s + out.reshape(-1)[0].astype(jnp.float32)
+        return s + out.astype(jnp.float32).mean()
 
-    t_full, c_full = bench_chain(full_fn, (vfull, x), args.iters)
-    f_full = prefix_flops(lambda v, xx: model.module.apply(v, xx), vfull, x)
-    print(f"full model          {t_full * 1e3:9.2f} ms "
+    t_full, c_full = bench_chain(full_fn, (vfull, inputs[0]), args.iters)
+    f_full = stage_flops(lambda v, xx: model.module.apply(v, xx),
+                         vfull, inputs[0])
+    print(f"full model   {t_full * 1e3:9.2f} ms "
           f"(compile {c_full:.1f}s)", flush=True)
 
     rows = {"model": args.model, "batch": batch, "dtype": args.dtype,
             "iters": args.iters,
-            "method": "prefix ablation: stage cost = t(prefix_k) - "
-                      "t(prefix_{k-1}), chained-fetch medians; telescopes "
-                      "to the full forward by construction",
+            "method": "standalone per-stage jits on true input shapes, "
+                      "chained scalar mean-carry (no per-call output "
+                      "transfer), median window; reconciled against the "
+                      "full forward measured with the same protocol",
             "stages": []}
-    prev_t, prev_f = 0.0, 0.0
     for k in range(n_stage):
-        dt = prefix_t[k] - prev_t
-        df = prefix_f[k] - prev_f
-        prev_t, prev_f = prefix_t[k], prefix_f[k]
-        tf = df / dt / 1e12 if dt > 0 else 0.0
+        tf = stage_f[k] / stage_t[k] / 1e12
         rows["stages"].append(
             {"stage": stage_names[k], "in_shape": list(shapes[k]),
-             "ms": round(dt * 1e3, 2), "prefix_ms": round(prefix_t[k] * 1e3, 2),
-             "gflops": round(df / 1e9, 1), "tf_s": round(tf, 1),
+             "ms": round(stage_t[k] * 1e3, 2),
+             "gflops": round(stage_f[k] / 1e9, 1), "tf_s": round(tf, 1),
              "mfu_pct": round(100 * tf / PEAK_TF, 1)})
-        print(f"{stage_names[k]:12s} {dt * 1e3:9.2f} ms "
-              f"{df / 1e9:9.1f} GF {tf:6.1f} TF/s "
-              f"{100 * tf / PEAK_TF:5.1f}% MFU", flush=True)
-    # norm + pool + head tail
-    dt = t_full - prefix_t[-1]
-    df = f_full - prefix_f[-1]
+    # norm + pool + head tail = full minus the summed stages
+    t_sum = sum(stage_t)
     rows["stages"].append(
-        {"stage": "norm_head", "ms": round(dt * 1e3, 2),
-         "gflops": round(max(df, 0.0) / 1e9, 1)})
-    rows["sum_ms"] = round(t_full * 1e3, 2)
-    rows["img_s_from_sum"] = round(batch / t_full, 1)
+        {"stage": "norm_head", "ms": round((t_full - t_sum) * 1e3, 2),
+         "gflops": round(max(f_full - sum(stage_f), 0.0) / 1e9, 1)})
+    rows["sum_stages_ms"] = round(t_sum * 1e3, 2)
+    rows["full_ms"] = round(t_full * 1e3, 2)
+    rows["img_s_full"] = round(batch / t_full, 1)
     rows["full_mfu_pct"] = round(100 * f_full / t_full / 1e12 / PEAK_TF, 1)
 
-    # reconciliation gate: refuse to write an artifact that contradicts
-    # the committed end-to-end bench row
+    # reconciliation gates: refuse to write an artifact that contradicts
+    # either itself (stage sum vs full) or the committed end-to-end row
+    ratio_sum = t_sum / t_full
+    rows["recon_sum_vs_full"] = round(ratio_sum, 3)
+    ok = 1 - args.recon_tol <= ratio_sum <= 1 + args.recon_tol
     if bench_row:
         rows["bench_row_img_s"] = bench_row["img_s"]
-        ratio = rows["img_s_from_sum"] / bench_row["img_s"]
-        rows["recon_ratio_vs_bench"] = round(ratio, 3)
-        if not (1 - args.recon_tol <= ratio <= 1 + args.recon_tol):
-            print(f"RECONCILIATION FAILED: profile implies "
-                  f"{rows['img_s_from_sum']} img/s, BENCH_FAMILY row says "
-                  f"{bench_row['img_s']} ({ratio:.3f}x) — NOT writing "
-                  f"PROFILE_CLS.json", flush=True)
-            sys.exit(1)
+        ratio = rows["img_s_full"] / bench_row["img_s"]
+        rows["recon_full_vs_bench"] = round(ratio, 3)
+        ok = ok and (1 - args.recon_tol <= ratio <= 1 + args.recon_tol)
+    if not ok:
+        print(f"RECONCILIATION FAILED: sum(stages)={t_sum * 1e3:.1f} ms vs "
+              f"full={t_full * 1e3:.1f} ms (ratio {ratio_sum:.3f}); "
+              f"bench cross-check "
+              f"{rows.get('recon_full_vs_bench')} — NOT writing "
+              f"PROFILE_CLS.json", flush=True)
+        sys.exit(1)
 
     out_path = os.path.join(REPO, "PROFILE_CLS.json")
     existing = []
@@ -228,8 +223,8 @@ def main():
     merged = [r for r in existing if r.get("model") != args.model] + [rows]
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
-    print(f"sum {t_full * 1e3:.1f} ms -> {rows['img_s_from_sum']} img/s; "
-          f"wrote PROFILE_CLS.json", flush=True)
+    print(f"stages sum {t_sum * 1e3:.1f} ms, full {t_full * 1e3:.1f} ms -> "
+          f"{rows['img_s_full']} img/s; wrote PROFILE_CLS.json", flush=True)
 
 
 if __name__ == "__main__":

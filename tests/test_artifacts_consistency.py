@@ -30,3 +30,11 @@ def test_checker_catches_contradiction(tmp_path):
         {"model": "faster_vit_4_21k_768", "img_s_from_sum": 0.2}))
     errors = run_all(str(tmp_path))
     assert any("PROFILE_CLS" in e for e in errors)
+
+    # current schema: full-model row contradicting the bench row, and a
+    # stage sum contradicting the full-model row, must both be caught
+    (tmp_path / "PROFILE_CLS.json").write_text(json.dumps(
+        [{"model": "faster_vit_4_21k_768", "img_s_full": 0.2,
+          "sum_stages_ms": 100.0, "full_ms": 500.0}]))
+    errors = run_all(str(tmp_path))
+    assert sum("PROFILE_CLS" in e for e in errors) == 2
