@@ -117,6 +117,12 @@ class PosEmbMLPSwinv1D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # deploy mode (reference switch_to_deploy, faster_vit.py:321-330):
+        # the additive embedding is a pure function of params, baked into the
+        # 'baked' collection by Model.bake_posemb. norm_by_seq (downstream
+        # runtime-dynamic geometry) is never baked — its grid varies per call.
+        if not self.norm_by_seq and self.has_variable("baked", "pos"):
+            return x + self.get_variable("baked", "pos")[None]
         if self.rank == 1:
             coords = _rank1_coords(self.seq_length)
         elif self.norm_by_seq:
@@ -129,6 +135,12 @@ class PosEmbMLPSwinv1D(nn.Module):
         h = nn.relu(h)
         pos = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="fc2")(h)
+        # written only under an explicit apply(..., mutable=["baked"]) from
+        # Model.bake_posemb — never during init, where every collection is
+        # mutable and a stale copy would silently shadow trained params
+        if (not self.norm_by_seq and not self.is_initializing()
+                and self.is_mutable_collection("baked")):
+            self.variable("baked", "pos", lambda: pos)
         return x + pos[None]
 
 
@@ -177,6 +189,50 @@ def _ct_correct_indices(window_size: int, n_global: int) -> list:
             for i in range(g) for j in range(g)]
 
 
+# Fully-fused HAT-block kernel routing. Measured on-chip (BENCH_BISECT.json,
+# fv0 b256 bf16, identical protocol): composed math + packed Pallas attention
+# = 8537 img/s vs 7520 through the fused block — the monolithic kernel's
+# serialization of attention with the MLP matmuls loses to XLA's overlap of
+# the composed graph. Off by default; set_fused_hat(True) re-enables for
+# probes/regression comparison. (The kernel itself stays tested in
+# tests/test_fused_block.py.)
+_FUSED_HAT = False
+
+
+def set_fused_hat(on: bool) -> bool:
+    """Enable/disable in-model routing through the fused HAT-block kernel;
+    returns the previous setting (probe/test hook)."""
+    global _FUSED_HAT
+    prev, _FUSED_HAT = _FUSED_HAT, bool(on)
+    return prev
+
+
+# Bias materialization strategy: 'auto' switches to the separable one-hot
+# matmul expansion for large windows (S >= _SEPARABLE_MIN_S), where the
+# gather of S^2 table rows plus the (S, S, H) -> (H, S, S) transpose costs
+# ~11 ms/block at the 21k-768 level_2 geometry (BLOCK_DECOMP_PROBE.json);
+# the matmul form is ~17 GFLOP there and rides the MXU instead.
+_BIAS_EXPAND = "auto"      # 'auto' | 'gather' | 'separable'
+_SEPARABLE_MIN_S = 1024
+
+
+def set_bias_expand(mode: str) -> str:
+    """Select how PosEmbMLPSwinv2D expands its CPB table into the dense
+    (H, S, S) bias; returns the previous mode (probe/test hook)."""
+    global _BIAS_EXPAND
+    assert mode in ("auto", "gather", "separable"), mode
+    prev, _BIAS_EXPAND = _BIAS_EXPAND, mode
+    return prev
+
+
+def _delta_onehot(n: int, dtype) -> jnp.ndarray:
+    """(n, n, 2n-1) constant with [p, q, a] = 1 iff p - q + n - 1 == a."""
+    p = np.arange(n)[:, None, None]
+    q = np.arange(n)[None, :, None]
+    a = np.arange(2 * n - 1)[None, None, :]
+    return jnp.asarray((p - q + n - 1) == a, dtype=dtype)
+
+
 class PosEmbMLPSwinv2D(nn.Module):
     """SwinV2-style continuous relative position bias, returned as a dense
     (num_heads, seq, seq) matrix (reference PosEmbMLPSwinv2D, faster_vit.py:213-310).
@@ -196,17 +252,56 @@ class PosEmbMLPSwinv2D(nn.Module):
 
     @nn.compact
     def __call__(self) -> jnp.ndarray:
+        # deploy mode (reference switch_to_deploy, faster_vit.py:263-264):
+        # the dense bias is a pure function of params; Model.bake_posemb
+        # stores it in the 'baked' collection so serving skips the per-block
+        # table MLP + expansion (~1.6 ms/block at the 21k-768 level_2
+        # geometry, CPB_EXPAND_PROBE.json) and reads the tensor instead.
+        if self.has_variable("baked", "bias"):
+            return self.get_variable("baked", "bias")
+        bias = self._compute_bias()
+        # see PosEmbMLPSwinv1D: only Model.bake_posemb's mutable apply writes
+        if not self.is_initializing() and self.is_mutable_collection("baked"):
+            self.variable("baked", "bias", lambda: bias)
+        return bias
+
+    def _compute_bias(self) -> jnp.ndarray:
         table_coords = _log_cpb_table(self.window_size, self.pretrained_window_size,
                                       self.no_log)
-        rel_idx = _relative_position_index(self.window_size)
         h = nn.Dense(512, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="fc1")(jnp.asarray(table_coords, dtype=self.dtype))
         h = nn.relu(h)
         table = nn.Dense(self.num_heads, use_bias=False, dtype=self.dtype,
                          kernel_init=trunc_normal_init, name="fc2")(h)
-        s_local = self.window_size[0] * self.window_size[1]
-        bias = table[rel_idx.reshape(-1)].reshape(s_local, s_local, self.num_heads)
-        bias = 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))  # (H, S, S)
+        wh, ww = self.window_size
+        s_local = wh * ww
+        # sigmoid commutes with the table -> bias expansion (both expansions
+        # below select single table entries), so apply it on the tiny table.
+        table = 16.0 * jax.nn.sigmoid(table)
+        mode = _BIAS_EXPAND
+        if mode == "auto":
+            mode = ("separable" if s_local >= _SEPARABLE_MIN_S else "gather")
+        if mode == "separable":
+            # bias[h, (rp,cp), (rq,cq)] = T[rp-rq+wh-1, cp-cq+ww-1, h] is
+            # block-Toeplitz in the 2D relative offsets, so the S^2-row
+            # gather factorizes into two one-hot contractions that run on
+            # the MXU and write the (H, S, S) layout directly — no 340 MB
+            # gather output + transpose at the 21k-768 level_2 geometry.
+            t3 = table.reshape(2 * wh - 1, 2 * ww - 1, self.num_heads)
+            ohr = _delta_onehot(wh, table.dtype)
+            ohc = _delta_onehot(ww, table.dtype)
+            m1 = jnp.einsum("pqa,abh->pqbh", ohr, t3,
+                            preferred_element_type=jnp.float32)
+            bias = jnp.einsum("xyb,pqbh->hpxqy", ohc,
+                              m1.astype(table.dtype),
+                              preferred_element_type=jnp.float32)
+            bias = bias.astype(table.dtype).reshape(
+                self.num_heads, s_local, s_local)
+        else:
+            rel_idx = _relative_position_index(self.window_size)
+            bias = table[rel_idx.reshape(-1)].reshape(
+                s_local, s_local, self.num_heads)
+            bias = bias.transpose(2, 0, 1)  # (H, S, S)
         n_global = self.seq_length - s_local
         if n_global <= 0:
             return bias
@@ -479,8 +574,9 @@ class HAT(nn.Module):
         # family's recipes, so only drop_path matters). Measured on v5e
         # (fv0, b128, bf16): training goes through the composed reference
         # with the packed Pallas attention (2638 img/s) — the fully-fused
-        # kernel's recompute VJP is slower (2151); the fused kernel serves
-        # the deterministic/inference path.
+        # kernel's recompute VJP is slower (2151). Inference also routes
+        # composed by default since round 4 (BENCH_BISECT.json: 8537 vs
+        # 7520 img/s); set_fused_hat(True) restores the monolithic kernel.
         # int8 serving reads kernel_q via the Dense/Conv interceptor, which
         # the fused kernel's raw-param path would bypass.
         use_fused = (impl == "pallas" and not self.quantized
@@ -514,8 +610,9 @@ class HAT(nn.Module):
                 "fc2_w": fc2_w.astype(cd), "fc2_b": fc2_b,
                 "gamma4": g_mlp if not isinstance(g_mlp, float) else ones,
             }
-            if deterministic and fused_block_supported(x.shape, params,
-                                                       self.num_heads):
+            if (_FUSED_HAT and deterministic
+                    and fused_block_supported(x.shape, params,
+                                              self.num_heads)):
                 interpret = not attention_ops._on_tpu()
                 return fused_hat_block(x, params, bias, self.num_heads,
                                        scale, interpret)

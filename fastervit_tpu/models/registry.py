@@ -98,6 +98,29 @@ class Model:
         from fastervit_tpu.utils.convert import load_pytorch_checkpoint
         return load_pytorch_checkpoint(self, checkpoint_path)
 
+    def bake_posemb(self, variables, dtype=jnp.float32):
+        """Deploy mode without AOT (the reference's switch_to_deploy,
+        faster_vit.py:263-264,321-330): precompute every position-embedding
+        tensor (PosEmbMLPSwinv1D additive embeddings and PosEmbMLPSwinv2D
+        dense attention biases — both pure functions of params) into a
+        'baked' variables collection. Serving forwards then read the stored
+        tensors instead of re-running the table MLP + (H, S, S) expansion
+        every block (~1.6 ms/block at the 21k-768 level_2 geometry).
+
+        The baked tensors are resolution-specific; reuse at another
+        resolution fails loudly on shape mismatch. HBM cost is the dense
+        biases themselves (2 GB bf16 for faster_vit_4_21k_768's twelve
+        S=2304 level_2 blocks; negligible for the 224px family).
+        """
+        h, w = self.cfg.resolution
+        x = jnp.zeros((1, h, w, self.cfg.in_chans), dtype)
+        fn = jax.jit(lambda v, xx: self.module.apply(v, xx,
+                                                     mutable=["baked"])[1])
+        baked = fn(variables, x)["baked"]
+        out = dict(variables)
+        out["baked"] = baked
+        return out
+
     def aot_compile(self, variables, batch_size: int, dtype=jnp.float32):
         """Deploy mode (the reference's switch_to_deploy analog,
         faster_vit.py:263-264): AOT-compile the forward with variables

@@ -30,7 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Sized against on-chip measurements, not the 16 MB scoped-vmem limit alone:
+# _tile_bytes overestimates actual Mosaic residency (kv/bias streams are not
+# all double-buffered in practice — tq=384 at S=2304, formula 16.9 MB, and
+# tq=1024 at S=1024, formula 18.9 MB, both compile and run; tq=576 at S=2304,
+# formula 24.2 MB, fails). 17 MB admits every tile the FLASH_TQ_PROBE sweep
+# measured fastest (S=2304 -> 384, S=1024 -> 512, S=576 -> 576) while
+# excluding the measured compile failures.
+_VMEM_BUDGET = 17 * 1024 * 1024
 
 
 def _pad128(n: int) -> int:
@@ -48,9 +55,14 @@ def _tile_bytes(tq: int, s: int, hd: int, itemsize: int) -> int:
 
 
 def _pick_tq(s: int, hd: int, itemsize: int) -> int:
+    """Largest fitting q-tile wins: fewer grid steps amortize the
+    grid-invariant K/V fetch (FLASH_TQ_PROBE.json: at S=2304 tq=384 is 1.08x
+    over tq=192; at S=576 the single-tile tq=576 is fastest)."""
     best = 8
-    for tq in (512, 448, 384, 320, 288, 256, 192, 160, 144, 128, 96, 72, 64,
-               48, 32, 16, 8):
+    for tq in (1024, 768, 576, 512, 448, 384, 320, 288, 256, 192, 160, 144,
+               128, 96, 72, 64, 48, 32, 16, 8):
+        if tq > s:
+            continue
         if s % tq == 0 and _tile_bytes(tq, s, hd, itemsize) <= _VMEM_BUDGET:
             return tq
     return best if s % best == 0 else s

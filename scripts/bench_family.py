@@ -36,11 +36,16 @@ FAMILY = [
 ]
 
 
-def bench_one(name, res, batch, iters=20, int8=False, windows=6):
+def bench_one(name, res, batch, iters=20, int8=False, windows=6, baked=False):
     import fastervit_tpu as fvt
     model = fvt.create_model(name, dtype=jnp.bfloat16, quantized=int8)
     variables = jax.jit(model.module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))
+    if baked:
+        # deploy mode (reference switch_to_deploy): position-emb tensors
+        # precomputed into the 'baked' collection; serving skips the
+        # per-block CPB MLP + dense expansion
+        variables = model.bake_posemb(variables, dtype=jnp.bfloat16)
     if int8:
         from fastervit_tpu.ops.quant import quantize_variables, quantized_call
         variables = jax.jit(quantize_variables)(variables)
@@ -85,10 +90,15 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--int8", action="store_true",
                     help="int8 serving path (ops/quant.py)")
+    ap.add_argument("--baked", action="store_true",
+                    help="deploy mode: bake position-emb tensors first "
+                         "(Model.bake_posemb, reference switch_to_deploy)")
     ap.add_argument("--out", default="BENCH_FAMILY.json")
     args = ap.parse_args()
     if args.int8 and args.out == "BENCH_FAMILY.json":
         args.out = "BENCH_FAMILY_INT8.json"  # keep bf16 rows intact
+    if args.baked and args.out == "BENCH_FAMILY.json":
+        args.out = "BENCH_FAMILY_DEPLOY.json"  # keep live-path rows intact
     # 'fvN' is shorthand for 'faster_vit_N' (so --models fv1,fv5 works)
     pats = [s.replace("fv", "faster_vit_") if s.startswith("fv") else s
             for s in args.models.split(",") if s]
@@ -97,11 +107,13 @@ def main():
     for name, res, batch, base in sel:
         try:
             rate, compile_s, lo, hi, kept_windows = bench_one(
-                name, res, batch, args.iters, int8=args.int8)
+                name, res, batch, args.iters, int8=args.int8,
+                baked=args.baked)
             row = {"model": name, "res": res, "batch": batch,
                    "img_s": round(rate, 1),
                    "spread_min": round(lo, 1), "spread_max": round(hi, 1),
                    "windows": kept_windows, "iters_per_window": args.iters,
+                   "baked": args.baked,
                    "dtype": "int8" if args.int8 else "bfloat16",
                    "a100_trt_img_s": base,
                    "vs_baseline": round(rate / base, 3) if base else None,
