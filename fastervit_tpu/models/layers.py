@@ -201,7 +201,13 @@ _FUSED_HAT = False
 
 def set_fused_hat(on: bool) -> bool:
     """Enable/disable in-model routing through the fused HAT-block kernel;
-    returns the previous setting (probe/test hook)."""
+    returns the previous setting (probe/test hook).
+
+    NOTE: this flag (like set_bias_expand's) is read at TRACE time and does
+    not participate in jax.jit cache keys — flipping it after a function has
+    compiled silently reuses the old traced graph. Callers must build a
+    fresh jit (or call .clear_cache()) after toggling; the probe scripts do
+    (ADVICE r4)."""
     global _FUSED_HAT
     prev, _FUSED_HAT = _FUSED_HAT, bool(on)
     return prev

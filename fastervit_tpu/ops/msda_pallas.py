@@ -183,8 +183,11 @@ def msda_forward_pallas(spatial_shapes: Sequence[Tuple[int, int]],
             # oversized map (encoder level 0): XLA gather path,
             # query-chunked so full-Q patch temporaries never materialize
             # (ADVICE r3). See the NOTE above for why no VMEM-resident
-            # variant exists; ops/msda_rowmix.py is the fast path for
-            # these shapes and is what 'auto' actually dispatches to.
+            # variant exists. This chunked-XLA path IS what 'auto' uses at
+            # these shapes; the opt-in ops/msda_rowmix.py alternative was
+            # measured SLOWER at encoder scale (2.89 vs 1.61 s/frame,
+            # PROFILE_DOWNSTREAM.json) and is kept only as the
+            # GSPMD-shardable formulation.
             ck = 4096
             padq = (-q) % ck
             k = (q + padq) // ck
