@@ -113,6 +113,9 @@ class Model:
         S=2304 level_2 blocks; negligible for the 224px family).
         """
         h, w = self.cfg.resolution
+        # re-bake from scratch: a stale 'baked' collection in the input would
+        # make the modules early-return the old tensors (ADVICE r4)
+        variables = {k: v for k, v in variables.items() if k != "baked"}
         x = jnp.zeros((1, h, w, self.cfg.in_chans), dtype)
         fn = jax.jit(lambda v, xx: self.module.apply(v, xx,
                                                      mutable=["baked"])[1])

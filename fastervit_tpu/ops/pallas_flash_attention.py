@@ -36,8 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 # tq=1024 at S=1024, formula 18.9 MB, both compile and run; tq=576 at S=2304,
 # formula 24.2 MB, fails). 17 MB admits every tile the FLASH_TQ_PROBE sweep
 # measured fastest (S=2304 -> 384, S=1024 -> 512, S=576 -> 576) while
-# excluding the measured compile failures.
+# excluding the measured compile failures. Tiles whose formula lands in the
+# over-16MB band are additionally probe-compiled once per geometry
+# (_probe_ok) so an unswept geometry falls back to the next smaller tile
+# instead of failing Mosaic compilation at runtime (ADVICE r4).
+_SAFE_VMEM = 16 * 1024 * 1024
 _VMEM_BUDGET = 17 * 1024 * 1024
+_PROBE_CACHE: dict = {}
 
 
 def _pad128(n: int) -> int:
@@ -54,17 +59,48 @@ def _tile_bytes(tq: int, s: int, hd: int, itemsize: int) -> int:
     return kv + qo + bias + logits
 
 
+def _probe_ok(tq: int, s: int, hd: int, itemsize: int) -> bool:
+    """Compile a 1-batch 1-head forward kernel standalone to check real
+    Mosaic VMEM residency for a tile whose formula lands in the empirical
+    (16, 17] MB band. Cached per geometry; off-TPU backends (interpret-mode
+    tests) trust the formula — they have no scoped-VMEM limit."""
+    key = (tq, s, hd, itemsize)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    if jax.default_backend() != "tpu":
+        _PROBE_CACHE[key] = True
+        return True
+    dtype = jnp.bfloat16 if itemsize == 2 else jnp.float32
+    hdp = _pad128(hd)
+    qkv = jax.ShapeDtypeStruct((1, 1, s, hdp), dtype)
+    bias = jax.ShapeDtypeStruct((1, s, s), jnp.float32)
+    try:
+        jax.jit(functools.partial(
+            _flash_forward, scale=1.0, interpret=False, tq=tq)).lower(
+                qkv, qkv, qkv, bias).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
 def _pick_tq(s: int, hd: int, itemsize: int) -> int:
     """Largest fitting q-tile wins: fewer grid steps amortize the
     grid-invariant K/V fetch (FLASH_TQ_PROBE.json: at S=2304 tq=384 is 1.08x
-    over tq=192; at S=576 the single-tile tq=576 is fastest)."""
+    over tq=192; at S=576 the single-tile tq=576 is fastest). Tiles in the
+    over-16MB empirical band must also pass a one-time compile probe."""
     best = 8
     for tq in (1024, 768, 576, 512, 448, 384, 320, 288, 256, 192, 160, 144,
                128, 96, 72, 64, 48, 32, 16, 8):
-        if tq > s:
+        if tq > s or s % tq != 0:
             continue
-        if s % tq == 0 and _tile_bytes(tq, s, hd, itemsize) <= _VMEM_BUDGET:
-            return tq
+        nbytes = _tile_bytes(tq, s, hd, itemsize)
+        if nbytes > _VMEM_BUDGET:
+            continue
+        if nbytes > _SAFE_VMEM and not _probe_ok(tq, s, hd, itemsize):
+            continue                      # formula admitted it; Mosaic won't
+        return tq
     return best if s % best == 0 else s
 
 
@@ -117,9 +153,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     out_ref[0, 0] = ctx.astype(out_ref.dtype)
 
 
-def _flash_forward(q, k, v, bias, scale, interpret, grid_order="hqb"):
+def _flash_forward(q, k, v, bias, scale, interpret, grid_order="hqb",
+                   tq=None):
     b, h, s, hd = q.shape
-    tq = _pick_tq(s, hd, q.dtype.itemsize)
+    if tq is None:
+        tq = _pick_tq(s, hd, q.dtype.itemsize)
     kernel = functools.partial(_fwd_kernel, scale=scale)
     if grid_order == "hqb":
         # batch innermost: the (TQ, S) f32 bias tile — the largest streamed

@@ -61,6 +61,33 @@ def test_baked_wrong_resolution_fails_loudly(model_and_vars):
         jax.eval_shape(lambda v, xx: model.module.apply(v, xx), baked, x)
 
 
+def test_rebake_after_weight_update_recomputes(model_and_vars):
+    """bake_posemb on variables that already carry a 'baked' collection must
+    recompute from the CURRENT params, not early-return the stale tensors
+    (ADVICE r4): perturb a posemb param, re-bake, and require the baked
+    tensors to change."""
+    model, variables = model_and_vars
+    baked1 = model.bake_posemb(variables)
+    # perturb every param leaf under a relative_bias / pos_emb module
+    def bump(path, leaf):
+        names = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if "pos_emb" in names or "relative_bias" in names or "cpb" in names:
+            return leaf + 0.05
+        return leaf
+    params2 = jax.tree_util.tree_map_with_path(bump, baked1["params"])
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(baked1["params"]),
+                        jax.tree_util.tree_leaves(params2)))
+    assert changed, "perturbation touched no posemb params — fix the filter"
+    baked2 = model.bake_posemb({**baked1, "params": params2})
+    stale = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(baked1["baked"]),
+                        jax.tree_util.tree_leaves(baked2["baked"])))
+    assert not stale, "re-bake returned the stale 'baked' tensors"
+
+
 def test_bias_expand_modes_share_baked_value(model_and_vars):
     """The baked bias is independent of the expansion strategy that
     produced it (gather vs separable are value-identical)."""
