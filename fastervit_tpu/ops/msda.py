@@ -257,6 +257,34 @@ def set_msda_backend(backend: str) -> str:
     return prev
 
 
+_TOKEN_SHARDING = None      # (Mesh, axis_name) or None
+
+
+def set_msda_token_sharding(mesh_axis):
+    """Query-axis GSPMD sharding for multi-chip streaming
+    (docs/MSDA_CHIP_LIMIT.md's scaling claim): pass (mesh, axis_name) to
+    constrain every MSDA call's query-indexed operands (sampling
+    locations, attention weights, output) to shard dim 1 over that mesh
+    axis while `value` stays replicated — GSPMD then partitions the
+    per-query gather so the per-chip indexed-load floor divides by the
+    mesh size (each device gathers only its Q/n slice). Pass None to
+    clear. Returns the previous setting. Trace-time flag (same caveat as
+    set_msda_backend: re-jit after toggling)."""
+    global _TOKEN_SHARDING
+    prev, _TOKEN_SHARDING = _TOKEN_SHARDING, mesh_axis
+    return prev
+
+
+def _qshard(t: jnp.ndarray) -> jnp.ndarray:
+    """Constrain dim 1 (query axis) per set_msda_token_sharding."""
+    if _TOKEN_SHARDING is None:
+        return t
+    from jax.sharding import NamedSharding, PartitionSpec
+    mesh, axis = _TOKEN_SHARDING
+    spec = PartitionSpec(*([None, axis] + [None] * (t.ndim - 2)))
+    return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
+
+
 def _resolve_backend(q_total: int) -> str:
     if _BACKEND != "auto":
         return _BACKEND
@@ -366,12 +394,21 @@ def ms_deform_attn(value: jnp.ndarray,
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     q_total = sampling_locations.shape[1]
     backend = _resolve_backend(q_total)
+    # multi-chip: shard the query-indexed operands (and thus the gather)
+    # over the configured mesh axis; value stays replicated
+    sampling_locations = _qshard(sampling_locations)
+    attention_weights = _qshard(attention_weights)
     if backend == "pallas":
-        return _msda_core_pallas(shapes, value, sampling_locations,
-                                 attention_weights)
+        return _qshard(_msda_core_pallas(shapes, value, sampling_locations,
+                                         attention_weights))
     if backend == "rowmix":
-        return _msda_core_rowmix(shapes, value, sampling_locations,
-                                 attention_weights)
+        return _qshard(_msda_core_rowmix(shapes, value, sampling_locations,
+                                         attention_weights))
+    if _TOKEN_SHARDING is not None:
+        # sharding already divides the query axis per device (the chunk
+        # bound exists to limit full-Q patch temporaries; the per-device
+        # slice is Q/n); host-side chunking would fight GSPMD's partition
+        query_chunk = None
     if query_chunk and q_total > query_chunk:
         n = value.shape[0]
         pad = (-q_total) % query_chunk
@@ -385,8 +422,9 @@ def ms_deform_attn(value: jnp.ndarray,
             lambda args: _msda_core(shapes, value, args[0], args[1]),
             (loc, w))
         out = out.swapaxes(0, 1).reshape(n, q_total + pad, -1)
-        return out[:, :q_total]
-    return _msda_core(shapes, value, sampling_locations, attention_weights)
+        return _qshard(out[:, :q_total])
+    return _qshard(_msda_core(shapes, value, sampling_locations,
+                              attention_weights))
 
 
 def _sampling_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
