@@ -38,7 +38,36 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="")
+    ap.add_argument("--bisect", action="store_true",
+                    help="sweep the two defaults that flipped between r3 "
+                         "and r4 (fused_hat, bias_expand) for the drifted "
+                         "frame_exact_f32_pallas config (VERDICT r4 #7)")
     args = ap.parse_args()
+
+    if args.bisect:
+        from fastervit_tpu.models import layers as L
+        for fused in (False, True):
+            for bias in ("separable", "gather"):
+                key = (f"frame_exact_f32_pallas_"
+                       f"{'fused' if fused else 'nofused'}_{bias}")
+                set_msda_backend("pallas")
+                prev_f, prev_b = L.set_fused_hat(fused), L.set_bias_expand(
+                    bias)
+                try:
+                    det = MOTRDetectorExact(backbone_cfg=cfg, num_queries=nq,
+                                            enc_layers=6, dec_layers=6)
+                    v = jax.jit(det.init)(jax.random.PRNGKey(0), x, qp, rp)
+                    t, c = time_fn(
+                        lambda v, x, qp, rp, det=det: det.apply(v, x, qp,
+                                                                rp),
+                        (v, x, qp, rp), iters=6)
+                    _emit(rows, key, t, out_path, section)
+                    del det, v
+                finally:
+                    L.set_fused_hat(prev_f)
+                    L.set_bias_expand(prev_b)
+                    set_msda_backend("auto")
+        return
     table = {
         "frame_exact_f32": ("xla", {}),
         "frame_exact_f32_pallas": ("pallas", {}),

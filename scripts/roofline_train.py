@@ -46,29 +46,31 @@ def bench_train(name: str, batch: int, remat: bool, iters=10, windows=4):
         "label": jnp.asarray(rs.randint(0, 1000, (batch,)), jnp.int32)}
     rng = jax.random.PRNGKey(1)
 
+    # single compile: lower/compile once, read the cost analysis off the
+    # same executable that gets timed (the re-lower in the first version
+    # of this script would have doubled the ~10-min fv0 train compile)
     t0 = time.time()
-    state, metrics = step_fn(state, batch_data, rng)
-    float(metrics["loss"])
-    compile_s = time.time() - t0
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step_fn(state, batch_data, rng)
-        float(metrics["loss"])
-        times.append((time.perf_counter() - t0) / iters)
-    kept = sorted(times[1:])
-    step_s = float(np.median(kept))
-
+    compiled = step_fn.lower(state, batch_data, rng).compile()
     try:
-        cost = jax.jit(make_train_step(model.module, tx, cfg)).lower(
-            state, batch_data, rng).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
     except Exception as e:
         print(f"  cost analysis failed: {e}", flush=True)
         flops = 0.0
+    state, metrics = compiled(state, batch_data, rng)
+    float(metrics["loss"])
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = compiled(state, batch_data, rng)
+        float(metrics["loss"])
+        times.append((time.perf_counter() - t0) / iters)
+    kept = sorted(times[1:])
+    step_s = float(np.median(kept))
     return step_s, compile_s, flops
 
 
