@@ -97,15 +97,60 @@ def main():
     ms, c = _time(lambda p: jnp.exp(p.astype(jnp.float32)), scores)
     rec("exp_only_f32", ms, c)
 
-    # c) the shipped flash kernel, with and without bias
-    from fastervit_tpu.ops.pallas_flash_attention import flash_attention
+    # c) the shipped flash kernel: bias f32 (production) vs bf16 (half the
+    # largest streamed operand) vs no bias at all (a local kernel clone
+    # minus the bias operand — isolates bias streaming + the add)
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fastervit_tpu.ops import pallas_flash_attention as F
+
+    qp, kp, vp = F._pad_hd(q), F._pad_hd(k), F._pad_hd(v)
     attn_flops = qk_flops + av_flops
-    ms, c = _time(lambda a, b_, vv, bb: flash_attention(a, b_, vv, bb,
-                                                       HD ** -0.5), q, k, v,
-                  bias)
-    rec("flash_bias", ms, c, attn_flops)
-    ms, c = _time(lambda a, b_, vv: flash_attention(a, b_, vv, None,
-                                                    HD ** -0.5), q, k, v)
+    ms, c = _time(lambda a, b_, vv, bb: F._flash_forward(
+        a, b_, vv, bb, HD ** -0.5, False), qp, kp, vp,
+        bias.astype(jnp.float32))
+    rec("flash_bias_f32", ms, c, attn_flops)
+    ms, c = _time(lambda a, b_, vv, bb: F._flash_forward(
+        a, b_, vv, bb, HD ** -0.5, False), qp, kp, vp, bias)
+    rec("flash_bias_bf16", ms, c, attn_flops)
+
+    def _nobias_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
+        qq = q_ref[0, 0].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            qq, k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        mm = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mm)
+        ctx = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, 0] = (ctx / jnp.sum(p, -1, keepdims=True)).astype(
+            out_ref.dtype)
+
+    def flash_nobias(qa, ka, va):
+        b, h, s, hd = qa.shape
+        tq = F._pick_tq(s, hd, qa.dtype.itemsize)
+        return pl.pallas_call(
+            functools.partial(_nobias_kernel, scale=HD ** -0.5),
+            grid=(h, s // tq, b),
+            in_specs=[pl.BlockSpec((1, 1, tq, hd),
+                                   lambda hi, qi, bi: (bi, hi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, s, hd),
+                                   lambda hi, qi, bi: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, s, hd),
+                                   lambda hi, qi, bi: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, tq, hd),
+                                   lambda hi, qi, bi: (bi, hi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h, s, hd), qa.dtype),
+        )(qa, ka, va)
+
+    ms, c = _time(flash_nobias, qp, kp, vp)
     rec("flash_nobias", ms, c, attn_flops)
 
     # d) composed XLA attention for cross-check

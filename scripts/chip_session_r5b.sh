@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-5 chip session B: follow-ups that depend on session A's results or
+# on code changed after A started (flash-kernel ctx-normalization).
+# Usage: nohup bash scripts/chip_session_r5b.sh > /tmp/chip_r5b.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+echo "=== chip session r5b $(date) ==="
+
+run() {
+  echo "--- $1 ($(date +%H:%M:%S))"; shift
+  "$@" 2>&1 | grep -v "Platform 'axon' is experimental"
+  echo "--- done ($(date +%H:%M:%S))"
+}
+
+run probe python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. train-step batch tuning probe (is b128 leaving MFU on the table?)
+run train_tune python scripts/roofline_train.py \
+    --configs faster_vit_0_224:256,faster_vit_3_224:128
+
+# 2. MOTR drift bisect: the two defaults that flipped between r3 and r4
+run motr_bisect python scripts/motr_speed_compare.py --bisect
+
+# 3. re-bench the flash-kernel rows after the ctx-normalization change
+#    (the 224 family uses the packed kernel — unaffected)
+run bench_21k_flash python scripts/bench_family.py \
+    --models 21k_384,21k_512,21k_768
+
+echo "=== done $(date) ==="

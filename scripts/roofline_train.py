@@ -113,7 +113,8 @@ def main():
                              "adamw+EMA), chained-fetch medians; FLOPs from "
                              "XLA cost analysis of the same jitted step"}
             rows = [r for r in rows
-                    if not (r["model"] == name and r.get("remat") == remat)]
+                    if not (r["model"] == name and r.get("remat") == remat
+                            and r.get("batch") == b)]
             rows.append(row)
             print(f"{key:28s} b{b} {step_s * 1e3:8.1f} ms "
                   f"{img_s:8.1f} img/s {tfs:6.1f} TF/s "
