@@ -75,8 +75,13 @@ def window_mhsa(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
         if impl == "pallas" and packed_supported(b, s, c3 // 3, num_heads,
                                                  qkv.dtype.itemsize):
             return fused_window_mhsa(qkv, bias, num_heads, scale)
-        # large-window shapes (21k-384/512/768): VMEM-safe Q-tiled kernel
+        # large-window shapes (21k-384/512/768): VMEM-safe Q-tiled kernel.
+        # Under bf16 compute, stream the bias in bf16 too — it is the
+        # largest per-tile operand; the kernel accumulates logits in f32
+        # either way (ATTN_VPU_PROBE.json: 8.51 -> 8.20 ms at S=2304).
         from fastervit_tpu.ops.pallas_flash_attention import flash_window_mhsa
+        if qkv.dtype == jnp.bfloat16:
+            bias = bias.astype(jnp.bfloat16)
         return flash_window_mhsa(qkv, bias, num_heads, scale)
     b, s, c3 = qkv.shape
     hd = c3 // 3 // num_heads

@@ -145,12 +145,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     logits = logits * scale + bias_ref[0].astype(jnp.float32)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
     ctx = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0, 0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (TQ, hd)
-    out_ref[0, 0] = ctx.astype(out_ref.dtype)
+    # normalize the (TQ, hd) context, not the (TQ, S) probs: S/hd-fold less
+    # VPU division work (18x at the 21k-768 level_2 geometry)
+    out_ref[0, 0] = (ctx / jnp.sum(p, axis=-1, keepdims=True)).astype(
+        out_ref.dtype)
 
 
 def _flash_forward(q, k, v, bias, scale, interpret, grid_order="hqb",
@@ -285,7 +287,9 @@ def _flash_backward(q, k, v, bias, g, scale, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((b, h, s, hd), q.dtype),
-                   jax.ShapeDtypeStruct((h, s, s), bias.dtype)],
+                   # dbias accumulates across the batch grid dim: keep the
+                   # accumulator f32 even when the bias streams bf16
+                   jax.ShapeDtypeStruct((h, s, s), jnp.float32)],
         interpret=interpret,
     )(q, k, v, bias, g)
     dk, dv = pl.pallas_call(
