@@ -14,6 +14,10 @@ run() {
 
 run probe python -c "import jax; print(jax.devices())" || exit 1
 
+# 0. online-softmax overlap experiment (decide-only: the shipped kernel is
+#    what the bench legs below measure; adoption happens after this session)
+run attn_online python scripts/attn_online_probe.py
+
 # 1. train-step batch tuning probe (is b128 leaving MFU on the table?)
 run train_tune python scripts/roofline_train.py \
     --configs faster_vit_0_224:256,faster_vit_3_224:128
@@ -21,9 +25,14 @@ run train_tune python scripts/roofline_train.py \
 # 2. MOTR drift bisect: the two defaults that flipped between r3 and r4
 run motr_bisect python scripts/motr_speed_compare.py --bisect
 
-# 3. re-bench the flash-kernel rows after the ctx-normalization change
-#    (the 224 family uses the packed kernel — unaffected)
+# 3. re-bench the flash-kernel rows after the ctx-normalization + bf16-bias
+#    changes (the 224 family uses the packed kernel — unaffected)
 run bench_21k_flash python scripts/bench_family.py \
     --models 21k_384,21k_512,21k_768
+
+# 4. refresh the 21k-768 stage profile against the new rows (the level_2
+#    attention changed) and re-derive the MFU table from the same bench file
+run profile_cls python scripts/profile_cls.py
+run roofline env JAX_PLATFORMS=cpu python scripts/roofline.py
 
 echo "=== done $(date) ==="
