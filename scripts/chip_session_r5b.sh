@@ -25,6 +25,10 @@ run train_tune python scripts/roofline_train.py \
 # 2. MOTR drift bisect: the two defaults that flipped between r3 and r4
 run motr_bisect python scripts/motr_speed_compare.py --bisect
 
+# 2b. variants session A lost to a transient relay HTTP 500
+run motr_rest python scripts/motr_speed_compare.py --variants \
+    frame_bf16_pallas,frame_bf16_rowmix,frame_lite_encoder,frame_lite_bf16,frame_lite_bf16_pallas
+
 # 3. re-bench the flash-kernel rows after the ctx-normalization + bf16-bias
 #    changes (the 224 family uses the packed kernel — unaffected)
 run bench_21k_flash python scripts/bench_family.py \
@@ -34,5 +38,9 @@ run bench_21k_flash python scripts/bench_family.py \
 #    attention changed) and re-derive the MFU table from the same bench file
 run profile_cls python scripts/profile_cls.py
 run roofline env JAX_PLATFORMS=cpu python scripts/roofline.py
+
+# 5. retry the int8 AOT probe (session A lost it to a transient relay
+#    error at the very first compile)
+run int8_aot python scripts/int8_aot_probe.py
 
 echo "=== done $(date) ==="
