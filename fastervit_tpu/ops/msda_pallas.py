@@ -165,6 +165,17 @@ def msda_forward_pallas(spatial_shapes: Sequence[Tuple[int, int]],
     n, s, m, d = value.shape
     q = sampling_locations.shape[1]
     p = sampling_locations.shape[4]
+    out_dtype = value.dtype
+    # Gather from f32 maps regardless of the value dtype. Two reasons,
+    # both measured: (a) bf16 operands do not speed up indexed loads
+    # (per-index overhead, not bandwidth — MSDA_GATHER_PROBE); (b) Mosaic
+    # rejects the kernel's dynamic sublane starts on packed bf16 tiles
+    # ("cannot statically prove that index in dimension 2 is a multiple
+    # of 8" at the 1536x800 streaming maps, which only FIT the fused path
+    # at bf16 — at f32 the same maps exceed _MAP_DOUBLE_BUFFER_LIMIT and
+    # take the XLA branch, which is why f32 never hit it). The upcast
+    # also makes the per-level dispatch thresholds dtype-invariant.
+    value = value.astype(_m._compute_dtype(value.dtype))
     acc = jnp.zeros((n * m, q, d), jnp.float32)
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
@@ -218,4 +229,4 @@ def msda_forward_pallas(spatial_shapes: Sequence[Tuple[int, int]],
             flat(w_eff), p, interpret=interpret)
     assert start == s, (start, s)
     out = acc.reshape(n, m, q, d).transpose(0, 2, 1, 3)  # (N, Q, M, D)
-    return out.reshape(n, q, m * d).astype(value.dtype)
+    return out.reshape(n, q, m * d).astype(out_dtype)

@@ -79,8 +79,15 @@ def _probe_ok(tq: int, s: int, hd: int, itemsize: int) -> bool:
             _flash_forward, scale=1.0, interpret=False, tq=tq)).lower(
                 qkv, qkv, qkv, bias).compile()
         ok = True
-    except Exception:
-        ok = False
+    except Exception as e:
+        # Only a genuine Mosaic/VMEM refusal demotes the tile. Anything
+        # else (e.g. a transient relay HTTP 500) must NOT silently shrink
+        # tq — that cost ~10% at 21k-768 when it first happened; trust the
+        # empirical budget instead, exactly as before the probe existed.
+        msg = f"{type(e).__name__}: {e}".lower()
+        refusal = ("mosaic" in msg or "vmem" in msg
+                   or "resource_exhausted" in msg or "scoped" in msg)
+        ok = not refusal
     _PROBE_CACHE[key] = ok
     return ok
 
@@ -99,7 +106,12 @@ def _pick_tq(s: int, hd: int, itemsize: int) -> int:
         if nbytes > _VMEM_BUDGET:
             continue
         if nbytes > _SAFE_VMEM and not _probe_ok(tq, s, hd, itemsize):
-            continue                      # formula admitted it; Mosaic won't
+            # formula admitted it; Mosaic refused — demote loudly: a
+            # silent drop from the swept-fastest tile costs ~10% at 21k
+            print(f"pallas_flash_attention: tq={tq} refused by Mosaic at "
+                  f"S={s} hd={hd}; falling back to a smaller q-tile",
+                  flush=True)
+            continue
         return tq
     return best if s % best == 0 else s
 

@@ -61,6 +61,76 @@ def load_stablehlo(blob: bytes):
     return exported.call
 
 
+def export_executable(model, variables, batch_size: int,
+                      dtype=jnp.float32):
+    """Serialize the COMPILED executable (jax.experimental
+    .serialize_executable) — the deploy artifact that actually amortizes
+    XLA compile cost. Measured on-chip for fv1-int8 (INT8_AOT_PROBE.json):
+    fresh compile 44.7 s; StableHLO deserialize + first call 40.8 s (the
+    backend re-compiles — StableHLO is the *portability* artifact, not a
+    compile cache); serialized executable deserialize 1.3 s + first call
+    2.6 s — 11x faster serving startup, parity exact.
+
+    Fixed shapes only (an executable is compiled for one geometry) and
+    same-topology loads only (deserialize_and_load rebuilds the device
+    assignment from the local client, so load on the same device count it
+    was compiled for — the executable is compiled replicated over all
+    addressable devices). Returns bytes; load with load_executable. The
+    callable takes (variables, images)."""
+    import pickle
+
+    import numpy as np
+    from jax.experimental import serialize_executable as se
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    h, w = model.cfg.resolution
+    spec = jax.ShapeDtypeStruct((batch_size, h, w, model.cfg.in_chans),
+                                dtype)
+    # compile the forward with variables as a real argument (closing over
+    # them would inline >50M params as constants into the payload)
+    if getattr(model.module, "quantized", False):
+        from fastervit_tpu.ops.quant import quantized_call
+        call = functools.partial(quantized_call, model.module.apply)
+    else:
+        call = model.module.apply
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    repl = NamedSharding(mesh, PartitionSpec())
+    vspecs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+    compiled = jax.jit(
+        call,
+        in_shardings=(jax.tree_util.tree_map(lambda _: repl, vspecs), repl),
+        out_shardings=repl).lower(vspecs, spec).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    return pickle.dumps({"payload": payload, "in_tree": in_tree,
+                         "out_tree": out_tree})
+
+
+def load_executable(blob: bytes):
+    """Load an export_executable artifact; returns the compiled callable
+    (variables, images) -> logits. Skips XLA compilation entirely
+    (INT8_AOT_PROBE.json: 1.3 s load + 2.6 s first call vs 44.7 s fresh
+    compile for fv1-int8). Topology must match the exporting process."""
+    import pickle
+
+    import numpy as np
+    from jax.experimental import serialize_executable as se
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    d = pickle.loads(blob)
+    loaded = se.deserialize_and_load(d["payload"], d["in_tree"],
+                                     d["out_tree"])
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    def call(variables, images):
+        args = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, repl), (variables, images))
+        return loaded(*args)
+
+    return call
+
+
 def export_onnx(model, variables, path: str, torch_model=None,
                 batch_size: Optional[int] = None, opset: int = 17,
                 optimize: bool = True) -> str:

@@ -31,6 +31,25 @@ def test_stablehlo_roundtrip_dynamic_batch(tiny):
     assert fn(x5).shape == (5, 10)  # dynamic batch works
 
 
+def test_executable_roundtrip_skips_compile(tiny):
+    """The deploy artifact that actually amortizes compile cost
+    (INT8_AOT_PROBE.json: StableHLO re-compiles at load; the serialized
+    EXECUTABLE loads in ~1 s): serialize the compiled forward, reload,
+    run — outputs must match the live model exactly."""
+    from fastervit_tpu.utils.export import export_executable, load_executable
+
+    model, variables = tiny
+    blob = export_executable(model, variables, batch_size=2)
+    fn = load_executable(blob)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 64, 3),
+                    jnp.float32)
+    want = np.asarray(model.apply(variables, x))
+    got = np.asarray(fn(variables, x))
+    # the artifact is a different XLA compilation (replicated shardings),
+    # so fusion order differs at f32 ulp scale
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_onnx_export(tmp_path):
     """The ONNX leg (reference onnx_convert.py:85-152): flax weights ->
     reverse converter -> reference torch model -> torch.onnx trace with a
