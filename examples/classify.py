@@ -17,3 +17,12 @@ print("logits:", logits.shape)
 # deploy: AOT-compiled executable with biases constant-folded
 compiled = model.aot_compile(variables, batch_size=8, dtype=jnp.bfloat16)
 print("aot:", compiled(jnp.zeros((8, 224, 224, 3), jnp.bfloat16)).shape)
+
+# serving across processes: serialize the COMPILED executable — loads in
+# ~1 s and skips XLA compilation entirely (INT8_AOT_PROBE.json: 11x faster
+# serving startup than re-compiling from StableHLO; topology-bound)
+from fastervit_tpu.utils.export import export_executable, load_executable
+blob = export_executable(model, variables, batch_size=8, dtype=jnp.bfloat16)
+serve = load_executable(blob)          # in the serving process
+print("served:", serve(variables, jnp.zeros((8, 224, 224, 3),
+                                            jnp.bfloat16)).shape)
