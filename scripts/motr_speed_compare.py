@@ -96,6 +96,10 @@ def main():
                 (v, x, qp, rp), iters=6)
             _emit(rows, key, t, out_path, section)
             del det, v
+        except Exception as e:
+            # keep going: one transient relay failure must not abort the
+            # whole sweep (it cost 5 variants in the r5-A session)
+            print(f"  {key}: FAIL {type(e).__name__}: {e}"[:300], flush=True)
         finally:
             set_msda_backend("auto")
 
