@@ -84,3 +84,39 @@ def test_window_mhsa_auto_dispatch_large_s_cpu():
     a = window_mhsa(qkv, bias, 4, scale, impl="jnp")
     b_ = _mhsa_reference(qkv, bias, 4, scale)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_probe_refusal_classification(monkeypatch):
+    """Only a genuine Mosaic/VMEM refusal may demote a q-tile; transient
+    relay errors must be trusted-through (a misread demotion silently cost
+    ~10% at 21k-768 — AB_21K768.json / ROUND_NOTES r5)."""
+    from fastervit_tpu.ops import pallas_flash_attention as F
+
+    calls = {}
+
+    def fake_backend():
+        return "tpu"
+
+    def raising_compile(msg):
+        class _L:
+            def compile(self):
+                raise RuntimeError(msg)
+
+        class _J:
+            def lower(self, *a):
+                return _L()
+
+        return lambda fn: _J()
+
+    monkeypatch.setattr(F.jax, "default_backend", fake_backend)
+    # transient relay failure -> trust the empirical budget (ok=True)
+    monkeypatch.setattr(F.jax, "jit", raising_compile(
+        "INTERNAL: http 500: tpu_compile_helper subprocess exit code 1"))
+    F._PROBE_CACHE.clear()
+    assert F._probe_ok(384, 2304, 128, 2) is True
+    # genuine Mosaic refusal -> demote (ok=False)
+    monkeypatch.setattr(F.jax, "jit", raising_compile(
+        "Mosaic failed to compile TPU kernel: scoped vmem limit exceeded"))
+    F._PROBE_CACHE.clear()
+    assert F._probe_ok(384, 2304, 128, 2) is False
+    F._PROBE_CACHE.clear()
