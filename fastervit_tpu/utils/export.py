@@ -223,3 +223,73 @@ def export_savedmodel(model, variables, directory: str,
     module.f = tf_fn
     tf.saved_model.save(module, directory)
     return directory
+
+
+def main(argv=None):
+    """CLI: export a model to a deploy artifact (the reference's
+    onnx_convert.py:85-152 analog, covering all four formats).
+
+        python -m fastervit_tpu.utils.export --model faster_vit_0_224 \\
+            [--checkpoint fv0.pth.tar] --format stablehlo --out fv0.stablehlo
+        # formats: stablehlo (portable, dynamic batch unless --batch),
+        #          executable (compiled; amortizes XLA compile, needs --batch),
+        #          onnx (via the reverse converter + torch tracer),
+        #          savedmodel (TF serving tree)
+    """
+    import argparse
+
+    import jax
+
+    from fastervit_tpu.models.registry import create_model
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", default="",
+                   help="reference .pth.tar (random init if omitted)")
+    p.add_argument("--format", required=True,
+                   choices=["stablehlo", "executable", "onnx", "savedmodel"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=0,
+                   help="0 = dynamic batch (stablehlo/onnx/savedmodel)")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving forward (stablehlo/executable)")
+    args = p.parse_args(argv)
+
+    dtype = jnp.dtype(args.dtype)
+    model = create_model(args.model, dtype=dtype, quantized=args.int8)
+    if args.checkpoint:
+        variables = model.load_pytorch(args.checkpoint)
+    else:
+        variables = model.init(jax.random.PRNGKey(0))
+    if args.int8:
+        variables = model.quantize_variables(variables)
+    batch = args.batch or None
+
+    if args.format == "stablehlo":
+        blob, _ = export_stablehlo(model, variables, batch_size=batch,
+                                   dtype=dtype)
+        with open(args.out, "wb") as f:
+            f.write(blob)
+    elif args.format == "executable":
+        if not batch:
+            raise SystemExit("--format executable needs a fixed --batch "
+                             "(an executable is compiled for one geometry)")
+        blob = export_executable(model, variables, batch_size=batch,
+                                 dtype=dtype)
+        with open(args.out, "wb") as f:
+            f.write(blob)
+    elif args.format == "onnx":
+        if args.int8:
+            raise SystemExit("onnx export runs the torch tracer; the int8 "
+                             "serving path exports via stablehlo/executable")
+        export_onnx(model, variables, args.out, batch_size=batch)
+    else:
+        export_savedmodel(model, variables, args.out, batch_size=batch,
+                          dtype=dtype)
+    print(f"exported {args.model} [{args.format}"
+          f"{', int8' if args.int8 else ''}] -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
