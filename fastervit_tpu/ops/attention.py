@@ -105,6 +105,9 @@ def bias_attention(q, k, v, bias, scale, *, attn_drop: float = 0.0,
                 flash_window_mhsa)
             pack = jnp.stack([q, k, v], axis=0)
             qkv = pack.transpose(1, 3, 0, 2, 4).reshape(bq, s, 3 * h * d)
+            # same bf16 bias streaming as window_mhsa's flash path
+            if qkv.dtype == jnp.bfloat16:
+                bias = bias.astype(jnp.bfloat16)
             out = flash_window_mhsa(qkv, bias, h, scale)
             return out.reshape(bq, s, h, d).transpose(0, 2, 1, 3)
         return fused_bias_attention(q, k, v, bias, scale)

@@ -405,10 +405,21 @@ def ms_deform_attn(value: jnp.ndarray,
         return _qshard(_msda_core_rowmix(shapes, value, sampling_locations,
                                          attention_weights))
     if _TOKEN_SHARDING is not None:
-        # sharding already divides the query axis per device (the chunk
-        # bound exists to limit full-Q patch temporaries; the per-device
-        # slice is Q/n); host-side chunking would fight GSPMD's partition
-        query_chunk = None
+        # Sharding divides the query axis per device, which substitutes
+        # for chunking ONLY while the per-device slice stays within the
+        # chunk bound (the bound exists to limit full-Q patch temporaries
+        # — ~1.7 GB logical per level at streaming Q=102k, ADVICE r3).
+        # On a small mesh the slice can still be huge: keep the chunked
+        # path then (values are sharding-agnostic; GSPMD may partition
+        # the chunks less cleanly, the lesser evil vs HBM OOM —
+        # code-review r5).
+        mesh, axis = _TOKEN_SHARDING
+        axes = axis if isinstance(axis, (tuple, list)) else (axis,)
+        ndev = 1
+        for a in axes:
+            ndev *= mesh.shape[a]
+        if query_chunk and q_total // max(ndev, 1) <= query_chunk:
+            query_chunk = None
     if query_chunk and q_total > query_chunk:
         n = value.shape[0]
         pad = (-q_total) % query_chunk

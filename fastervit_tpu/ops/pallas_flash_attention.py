@@ -59,40 +59,47 @@ def _tile_bytes(tq: int, s: int, hd: int, itemsize: int) -> int:
     return kv + qo + bias + logits
 
 
-def _probe_ok(tq: int, s: int, hd: int, itemsize: int) -> bool:
-    """Compile a 1-batch 1-head forward kernel standalone to check real
-    Mosaic VMEM residency for a tile whose formula lands in the empirical
-    (16, 17] MB band. Cached per geometry; off-TPU backends (interpret-mode
-    tests) trust the formula — they have no scoped-VMEM limit."""
-    key = (tq, s, hd, itemsize)
+def _probe_ok(tq: int, s: int, hd: int, itemsize: int,
+              bias_itemsize: int = 4) -> bool:
+    """Compile the forward kernel standalone to check real Mosaic VMEM
+    residency for a tile whose formula lands in the empirical (16, 17] MB
+    band. Fidelity matters (code-review r5): the probe uses b=2/h=2 so the
+    k/v blocks vary across grid steps (real double-buffering, not the
+    grid-invariant b=1/h=1 special case) and the CALLER's bias dtype (the
+    production bf16 path streams a bf16 bias — half the f32 tile). Cached
+    per geometry; off-TPU backends (interpret-mode tests) trust the
+    formula — they have no scoped-VMEM limit."""
+    key = (tq, s, hd, itemsize, bias_itemsize)
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
     if jax.default_backend() != "tpu":
         _PROBE_CACHE[key] = True
         return True
     dtype = jnp.bfloat16 if itemsize == 2 else jnp.float32
+    bias_dtype = jnp.bfloat16 if bias_itemsize == 2 else jnp.float32
     hdp = _pad128(hd)
-    qkv = jax.ShapeDtypeStruct((1, 1, s, hdp), dtype)
-    bias = jax.ShapeDtypeStruct((1, s, s), jnp.float32)
+    qkv = jax.ShapeDtypeStruct((2, 2, s, hdp), dtype)
+    bias = jax.ShapeDtypeStruct((2, s, s), bias_dtype)
     try:
         jax.jit(functools.partial(
             _flash_forward, scale=1.0, interpret=False, tq=tq)).lower(
                 qkv, qkv, qkv, bias).compile()
         ok = True
     except Exception as e:
-        # Only a genuine Mosaic/VMEM refusal demotes the tile. Anything
-        # else (e.g. a transient relay HTTP 500) must NOT silently shrink
-        # tq — that cost ~10% at 21k-768 when it first happened; trust the
-        # empirical budget instead, exactly as before the probe existed.
+        # Only a genuine Mosaic/VMEM/OOM refusal demotes the tile.
+        # Anything else (e.g. a transient relay HTTP 500) must NOT
+        # silently shrink tq — that cost ~10% at 21k-768 when it first
+        # happened; trust the empirical budget instead, exactly as before
+        # the probe existed.
         msg = f"{type(e).__name__}: {e}".lower()
-        refusal = ("mosaic" in msg or "vmem" in msg
+        refusal = ("mosaic" in msg or "vmem" in msg or "memory" in msg
                    or "resource_exhausted" in msg or "scoped" in msg)
         ok = not refusal
     _PROBE_CACHE[key] = ok
     return ok
 
 
-def _pick_tq(s: int, hd: int, itemsize: int) -> int:
+def _pick_tq(s: int, hd: int, itemsize: int, bias_itemsize: int = 4) -> int:
     """Largest fitting q-tile wins: fewer grid steps amortize the
     grid-invariant K/V fetch (FLASH_TQ_PROBE.json: at S=2304 tq=384 is 1.08x
     over tq=192; at S=576 the single-tile tq=576 is fastest). Tiles in the
@@ -105,7 +112,8 @@ def _pick_tq(s: int, hd: int, itemsize: int) -> int:
         nbytes = _tile_bytes(tq, s, hd, itemsize)
         if nbytes > _VMEM_BUDGET:
             continue
-        if nbytes > _SAFE_VMEM and not _probe_ok(tq, s, hd, itemsize):
+        if nbytes > _SAFE_VMEM and not _probe_ok(tq, s, hd, itemsize,
+                                                 bias_itemsize):
             # formula admitted it; Mosaic refused — demote loudly: a
             # silent drop from the swept-fastest tile costs ~10% at 21k
             print(f"pallas_flash_attention: tq={tq} refused by Mosaic at "
@@ -171,7 +179,7 @@ def _flash_forward(q, k, v, bias, scale, interpret, grid_order="hqb",
                    tq=None):
     b, h, s, hd = q.shape
     if tq is None:
-        tq = _pick_tq(s, hd, q.dtype.itemsize)
+        tq = _pick_tq(s, hd, q.dtype.itemsize, bias.dtype.itemsize)
     kernel = functools.partial(_fwd_kernel, scale=scale)
     if grid_order == "hqb":
         # batch innermost: the (TQ, S) f32 bias tile — the largest streamed
@@ -275,7 +283,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dk_ref, dv_ref, *,
 
 def _flash_backward(q, k, v, bias, g, scale, interpret):
     b, h, s, hd = q.shape
-    tq = _pick_tq(s, hd, q.dtype.itemsize)
+    tq = _pick_tq(s, hd, q.dtype.itemsize, bias.dtype.itemsize)
     nq = s // tq
     dq, dbias = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale),

@@ -10,6 +10,9 @@ echo "=== A/B 21k-768 $(date) ==="
 
 git stash list | head -1
 cp BENCH_FAMILY.json /tmp/bench_family_backup.json
+# a kill/timeout mid-run must not leave a mixed r4/HEAD tree — that would
+# silently corrupt every later bench in this workspace
+trap 'git checkout HEAD -- fastervit_tpu; cp /tmp/bench_family_backup.json BENCH_FAMILY.json' EXIT
 
 echo "--- A: r4 tree (a090cf0) model+ops"
 git checkout a090cf0 -- fastervit_tpu

@@ -20,6 +20,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import jax
 import jax.numpy as jnp
@@ -34,25 +35,15 @@ ITERS, WINDOWS = 10, 4
 
 
 def _time(fn, *args):
-    s = jnp.zeros((), jnp.float32)
+    """Milliseconds wrapper over the shared chained-fetch protocol."""
+    from _bench_protocol import bench_chained
 
-    @jax.jit
     def step(s, *a):
         out = fn(*a)
         return s + jnp.asarray(out, jnp.float32).ravel()[0]
 
-    t0 = time.time()
-    s = step(s, *args)
-    float(s)
-    compile_s = time.time() - t0
-    rates = []
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            s = step(s, *args)
-        float(s)
-        rates.append((time.perf_counter() - t0) / ITERS * 1e3)
-    return float(np.median(sorted(rates[1:]))), compile_s
+    sec, compile_s = bench_chained(step, args, iters=ITERS, windows=WINDOWS)
+    return sec * 1e3, compile_s
 
 
 def _online_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, chunks):

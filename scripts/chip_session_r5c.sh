@@ -7,10 +7,12 @@ set -u
 cd "$(dirname "$0")/.."
 echo "=== chip session r5c $(date) ==="
 
-run() {
+run() {  # run <label> <cmd...> — sequential, never killed
   echo "--- $1 ($(date +%H:%M:%S))"; shift
   "$@" 2>&1 | grep -v "Platform 'axon' is experimental"
-  echo "--- done ($(date +%H:%M:%S))"
+  local rc=${PIPESTATUS[0]}
+  echo "--- rc=$rc ($(date +%H:%M:%S))"
+  return $rc
 }
 
 run probe python -c "import jax; print(jax.devices())" || exit 1

@@ -63,6 +63,11 @@ def main():
                         (v, x, qp, rp), iters=6)
                     _emit(rows, key, t, out_path, section)
                     del det, v
+                except Exception as e:
+                    # same isolation as the main sweep: one relay error
+                    # must not kill the remaining bisect combos
+                    print(f"  {key}: FAIL {type(e).__name__}: {e}"[:300],
+                          flush=True)
                 finally:
                     L.set_fused_hat(prev_f)
                     L.set_bias_expand(prev_b)

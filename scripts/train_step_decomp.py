@@ -18,27 +18,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, args, iters=10, windows=4):
-    f = jax.jit(fn)
-    s = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    s2 = f(s, *args)
-    float(s2)
-    compile_s = time.time() - t0
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            s = f(s, *args)
-        float(s)
-        times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(sorted(times[1:]))), compile_s
+from _bench_protocol import bench_chained as timed  # noqa: E402
 
 
 def main():
@@ -94,8 +81,11 @@ def main():
 
     def fwd_bwd(s, p, bs, x, yh):
         (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, x, yh)
-        return s + l + sum(jnp.sum(t.astype(jnp.float32))
-                           for t in jax.tree.leaves(g)) * 0.0
+        # one element per grad leaf: keeps every dX alive without adding
+        # full-tensor reductions to the measured program
+        anchor = sum(t.astype(jnp.float32).ravel()[0]
+                     for t in jax.tree.leaves(g))
+        return s + l + anchor * 1e-12
 
     t, c = timed(fwd_bwd, (state.params, state.batch_stats, x, yhot))
     rec("fwd_bwd", t, c)
@@ -104,14 +94,16 @@ def main():
 
     def full(s, st, b, r):
         st2, m = step_fn(st, b, r)
-        # depend on the UPDATED state too — returning only the loss lets
+        # depend on EVERY updated buffer — returning only the loss lets
         # XLA dead-code-eliminate the whole optimizer update (measured:
-        # 18 ms vs the real 49 ms step)
-        p0 = jax.tree.leaves(st2.params)[0]
-        o0 = [t for t in jax.tree.leaves(st2.opt_state)
-              if hasattr(t, "ravel")][0]
-        return (s + m["loss"] + p0.astype(jnp.float32).ravel()[0]
-                + o0.astype(jnp.float32).ravel()[0])
+        # 18 ms vs the real 46 ms step), and anchoring a single leaf
+        # still lets it drop the other per-param writes and the EMA tree
+        # (code-review r5). One element per leaf keeps each buffer alive
+        # at negligible read cost.
+        anchor = sum(
+            t.astype(jnp.float32).ravel()[0]
+            for t in jax.tree.leaves(st2) if hasattr(t, "ravel"))
+        return s + m["loss"] + anchor * 1e-12
 
     t, c = timed(full, (state, batch, rng))
     rec("full_step", t, c)
