@@ -81,9 +81,10 @@ def main():
 
     def fwd_bwd(s, p, bs, x, yh):
         (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, x, yh)
-        # one element per grad leaf: keeps every dX alive without adding
-        # full-tensor reductions to the measured program
-        anchor = sum(t.astype(jnp.float32).ravel()[0]
+        # full-reduction anchor keeps every dX alive; the ~300 1-element
+        # slice variant reproducibly crashes the relay compile helper, and
+        # the reductions cost ~0.15 ms (read 120 MB) — noted in the result
+        anchor = sum(jnp.sum(t.astype(jnp.float32))
                      for t in jax.tree.leaves(g))
         return s + l + anchor * 1e-12
 
@@ -101,7 +102,7 @@ def main():
         # (code-review r5). One element per leaf keeps each buffer alive
         # at negligible read cost.
         anchor = sum(
-            t.astype(jnp.float32).ravel()[0]
+            jnp.sum(t.astype(jnp.float32))
             for t in jax.tree.leaves(st2) if hasattr(t, "ravel"))
         return s + m["loss"] + anchor * 1e-12
 
